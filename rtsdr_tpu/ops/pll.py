@@ -1,0 +1,128 @@
+"""PLL / NCO carrier recovery as a ``lax.scan`` recurrence.
+
+Faithful to the golden model ``fmPll`` (model/fmPll.py:4-49): first-order
+loop with an atan2 phase detector, PI loop filter (Cp=2.666, Ci=3.555,
+Kp=B*Cp, Ki=B^2*Ci), and an NCO emitting cos/sin(trigArg*ncoScale +
+phaseAdjust).  The recurrence is inherently sequential per channel —
+throughput on TPU comes from ``vmap``/sharding across channels (each scan
+step is a VPU-vectorized op over the batch), not from parallelizing a single
+loop (SURVEY.md §7 "hard parts" #1).
+
+Improvements over the reference, deliberate (SURVEY.md §7):
+
+* The reference accumulates ``trigOffset`` and ``phaseEst`` without bound
+  (model/fmPll.py:33,44), so float32 trig arguments lose precision within
+  minutes of stream time.  We wrap both modulo 4*pi each step — exact for
+  any half-integer ``nco_scale`` (cos((x mod 4pi)*s + p) == cos(x*s + p)
+  for s in {0.5, 1, 2, ...}) — so float32 stays accurate indefinitely.
+* Both NCO quadratures are carried in the state (the reference leaves
+  ``ncoOutQ[0]`` uninitialized, model/fmPll.py:13,36-37).
+
+Output alignment matches the model's consumers exactly: the model returns
+``ncoOut`` of length N+1 whose element 0 is the *previous* block's last NCO
+sample, and the mixers consume ``ncoOut[0:N]`` (model/fmMonoBlock.py:155,
+model/fmRDSblock.py:173-175) — i.e. the NCO is applied with one sample of
+delay.  ``pll`` returns that delayed-by-one view directly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PLLState(NamedTuple):
+    """Block-continuity state (reference pll_state_type, src/helper.h:17-19)."""
+
+    integrator: jax.Array
+    phase_est: jax.Array   # wrapped mod 4*pi
+    fb_i: jax.Array
+    fb_q: jax.Array
+    nco_i: jax.Array       # last NCO cos sample (model recovery_state[4])
+    nco_q: jax.Array       # last NCO sin sample
+    theta: jax.Array       # 2*pi*(freq/fs)*trigOffset, wrapped mod 4*pi
+
+
+_FOUR_PI = 4.0 * math.pi
+
+
+def pll_init(batch_shape: tuple = (), dtype=jnp.float32) -> PLLState:
+    """Initial state matching the model's [0, 0, 1, 0, 1, 0] convention
+    (model/fmMonoBlock.py:76) plus nco_q=0."""
+    z = jnp.zeros(batch_shape, dtype=dtype)
+    o = jnp.ones(batch_shape, dtype=dtype)
+    return PLLState(integrator=z, phase_est=z, fb_i=o, fb_q=z,
+                    nco_i=o, nco_q=z, theta=z)
+
+
+def pll(
+    x: jax.Array,
+    state: PLLState,
+    *,
+    freq: float,
+    fs: float,
+    nco_scale: float = 1.0,
+    phase_adjust: float = 0.0,
+    norm_bandwidth: float = 0.01,
+    unroll: int = 8,
+) -> tuple[jax.Array, jax.Array, PLLState]:
+    """Run the PLL over one block.
+
+    Args:
+      x: (..., N) real input (band-passed pilot / squared carrier).
+      state: PLLState with fields shaped (...,).
+
+    Returns:
+      nco_i, nco_q: (..., N) NCO outputs *delayed by one sample* (the
+        model's ``ncoOut[0:N]`` view — element 0 is the previous block's
+        last NCO sample).
+      new_state.
+    """
+    dtype = x.dtype
+    cp, ci = 2.666, 3.555
+    kp = jnp.asarray(norm_bandwidth * cp, dtype)
+    ki = jnp.asarray(norm_bandwidth * norm_bandwidth * ci, dtype)
+    dtheta = jnp.asarray(2.0 * math.pi * freq / fs, dtype)
+    scale = jnp.asarray(nco_scale, dtype)
+    adjust = jnp.asarray(phase_adjust, dtype)
+    four_pi = jnp.asarray(_FOUR_PI, dtype)
+
+    # time-major for scan: (N, ...)
+    xs = jnp.moveaxis(x, -1, 0)
+
+    def step(carry, xk):
+        integ, phase, fb_i, fb_q, theta = carry
+        error_i = xk * fb_i
+        error_q = xk * (-fb_q)
+        error_d = jnp.arctan2(error_q, error_i)
+        integ = integ + ki * error_d
+        phase = jnp.mod(phase + kp * error_d + integ, four_pi)
+        theta = jnp.mod(theta + dtheta, four_pi)
+        arg = theta + phase
+        fb_i = jnp.cos(arg)
+        fb_q = jnp.sin(arg)
+        nco_arg = arg * scale + adjust
+        nco_i = jnp.cos(nco_arg)
+        nco_q = jnp.sin(nco_arg)
+        return (integ, phase, fb_i, fb_q, theta), (nco_i, nco_q)
+
+    carry0 = (state.integrator, state.phase_est, state.fb_i, state.fb_q,
+              state.theta)
+    (integ, phase, fb_i, fb_q, theta), (nco_i_seq, nco_q_seq) = jax.lax.scan(
+        step, carry0, xs, unroll=unroll)
+
+    # (N, ...) -> (..., N)
+    nco_i_new = jnp.moveaxis(nco_i_seq, 0, -1)
+    nco_q_new = jnp.moveaxis(nco_q_seq, 0, -1)
+
+    # Delayed-by-one view: prepend previous block's last NCO sample.
+    nco_i = jnp.concatenate([state.nco_i[..., None], nco_i_new[..., :-1]], axis=-1)
+    nco_q = jnp.concatenate([state.nco_q[..., None], nco_q_new[..., :-1]], axis=-1)
+
+    new_state = PLLState(
+        integrator=integ, phase_est=phase, fb_i=fb_i, fb_q=fb_q,
+        nco_i=nco_i_new[..., -1], nco_q=nco_q_new[..., -1], theta=theta)
+    return nco_i, nco_q, new_state
