@@ -1,0 +1,99 @@
+"""Mono + stereo audio chains.
+
+Replaces the reference mono_stero_thread (src/fm_radio.cpp:150-318),
+following the golden model (model/fmMonoBlock.py:100-173):
+
+  mono:   LPF 16 kHz + decimate 5   (mode 0) /  resample x24/125 (mode 1)
+  stereo: pilot BPF 18.5-19.5 kHz -> PLL (nco_scale=2 -> 38 kHz subcarrier)
+          channel BPF 22-54 kHz -> mixer (x NCO x 2) -> LPF 16 kHz +
+          decimate/resample -> L = (mono+stereo)/2, R = (mono-stereo)/2
+
+In mode 1 the post-mix stereo path uses the same x24/125 polyphase
+resampler as mono so both land at 48 kS/s (the reference C++ instead kept
+decim-by-5 and mismatched rates — a quirk we fix; filters are likewise
+designed at the true rates, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rtsdr_tpu.config import ReceiverConfig
+from rtsdr_tpu.ops import coeffs
+from rtsdr_tpu.ops.fir import fir_block, fir_resample, fir_zi, resample_zi
+from rtsdr_tpu.ops.pll import PLLState, pll, pll_init
+
+
+class AudioState(NamedTuple):
+    mono_zi: jax.Array      # (..., mono_taps*up - 1) in the resampler domain
+    pilot_zi: jax.Array     # (..., stereo_taps-1)
+    chan_zi: jax.Array      # (..., stereo_taps-1)
+    stereo_zi: jax.Array    # (..., mono_taps*up - 1) post-mix LPF/resampler
+    pll: PLLState
+
+
+def _audio_taps(cfg: ReceiverConfig) -> int:
+    # Mode 1 scales tap count by the upsampling factor so the filter keeps
+    # its transition width at the dilated rate (reference
+    # src/fm_radio.cpp:179: audio_taps *= audio_up).
+    return cfg.mono.taps * cfg.mono.up
+
+
+def audio_init(cfg: ReceiverConfig, batch_shape: tuple = (),
+               dtype=jnp.float32) -> AudioState:
+    taps = _audio_taps(cfg)
+    return AudioState(
+        mono_zi=resample_zi(taps, batch_shape, dtype),
+        pilot_zi=fir_zi(cfg.stereo.taps, batch_shape, dtype),
+        chan_zi=fir_zi(cfg.stereo.taps, batch_shape, dtype),
+        stereo_zi=resample_zi(taps, batch_shape, dtype),
+        pll=pll_init(batch_shape, dtype),
+    )
+
+
+def make_audio(cfg: ReceiverConfig):
+    """Returns ``audio(state, fm_demod) -> ((left, right, mono), new_state)``.
+
+    fm_demod: (..., if_len); outputs at 48 kS/s: (..., audio_len).
+    """
+    if_fs = cfg.rf.if_fs
+    up, down = cfg.mono.up, cfg.mono.down
+    taps = _audio_taps(cfg)
+    # Resampler LPF cutoff: min(passband, anti-image) = 16 kHz for both
+    # modes, designed at the dilated rate if_fs*up.
+    mono_h = coeffs.lowpass_taps(if_fs * up, cfg.mono.fc, taps)
+    pilot_h = coeffs.bandpass_taps(if_fs, cfg.stereo.pilot_lo,
+                                   cfg.stereo.pilot_hi, cfg.stereo.taps)
+    chan_h = coeffs.bandpass_taps(if_fs, cfg.stereo.chan_lo,
+                                  cfg.stereo.chan_hi, cfg.stereo.taps)
+    pcfg = cfg.stereo.pll
+
+    def audio(state: AudioState, fm: jax.Array):
+        # mono path; gain=up restores the resampler's Parseval loss
+        # (C++ applies the same x24 at emit, src/fm_radio.cpp:206,297)
+        mono, mono_zi = fir_resample(fm, mono_h, state.mono_zi, up, down)
+
+        # stereo pilot -> 38 kHz NCO
+        pilot, pilot_zi = fir_block(fm, pilot_h, state.pilot_zi)
+        nco, _, pll_state = pll(
+            pilot, state.pll, freq=pcfg.freq, fs=if_fs,
+            nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
+            norm_bandwidth=pcfg.norm_bandwidth)
+
+        # stereo channel -> mix down to baseband -> LPF + resample
+        chan, chan_zi = fir_block(fm, chan_h, state.chan_zi)
+        mixed = 2.0 * chan * nco
+        stereo, stereo_zi = fir_resample(mixed, mono_h, state.stereo_zi, up, down)
+
+        left = 0.5 * (mono + stereo)
+        right = 0.5 * (mono - stereo)
+
+        new_state = AudioState(mono_zi=mono_zi, pilot_zi=pilot_zi,
+                               chan_zi=chan_zi, stereo_zi=stereo_zi,
+                               pll=pll_state)
+        return (left, right, mono), new_state
+
+    return audio

@@ -1,0 +1,254 @@
+"""RDS bit layer: clock recovery, Manchester + differential decode, frame sync.
+
+Replaces the reference frame_thread (src/fm_radio.cpp:444-729) following the
+golden model (model/fmRDSblock.py:206-347).  Everything is fixed-shape
+(padded arrays + carried counts) so the whole layer jits; the per-block
+symbol/bit counts vary by +-1 with the clock offset (SURVEY.md §7 hard part
+#3).
+
+The 26x10 GF(2) parity multiply that the reference does as a triple loop per
+bit position (src/fm_radio.cpp:631-646) is one batched int32 matmul over all
+window positions at once, followed by ``& 1``.
+
+Stage-by-stage golden parity notes:
+  * clock recovery: block-0 offset = argmax of the first 24 RRC samples
+    (signed, as the model; the C++ uses abs) — ``use_abs_clock`` selects.
+  * offset update: ``offset_mode='track'`` reproduces the model's per-block
+    update (model/fmRDSblock.py:219) exactly, via the closed form
+    ``24 + R - offset - 24*n_sym`` (the model finds the same value by
+    searching the last 24 samples for the last symbol).  ``'hold'`` keeps
+    the initial offset — with ``R % 24 == 0`` the offset never drifts, which
+    is why the C++ disabled the update (src/fm_radio.cpp:529-538) and got
+    more syndromes; 'hold' is the default.
+  * frame sync: the model re-evaluates each block's last window as the next
+    block's first window at the same global position (its carry is 27 bits,
+    model/fmRDSblock.py:346); we reproduce that, including the resulting
+    duplicate/false-positive report at seams.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtsdr_tpu.config import ReceiverConfig
+
+# RDS parity-check matrix H (26 x 10) over GF(2) and the four offset-word
+# syndromes, from the RDS standard (as used at model/fmRDSblock.py:50 and
+# src/fm_radio.cpp:477-482).  Layout: first 10 rows identity (checkword),
+# last 16 rows the info-word parity contribution.
+_H_LOWER = [
+    [1, 0, 1, 1, 0, 1, 1, 1, 0, 0],
+    [0, 1, 0, 1, 1, 0, 1, 1, 1, 0],
+    [0, 0, 1, 0, 1, 1, 0, 1, 1, 1],
+    [1, 0, 1, 0, 0, 0, 0, 1, 1, 1],
+    [1, 1, 1, 0, 0, 1, 1, 1, 1, 1],
+    [1, 1, 0, 0, 0, 1, 0, 0, 1, 1],
+    [1, 1, 0, 1, 0, 1, 0, 1, 0, 1],
+    [1, 1, 0, 1, 1, 1, 0, 1, 1, 0],
+    [0, 1, 1, 0, 1, 1, 1, 0, 1, 1],
+    [1, 0, 0, 0, 0, 0, 0, 0, 0, 1],
+    [1, 1, 1, 1, 0, 1, 1, 1, 0, 0],
+    [0, 1, 1, 1, 1, 0, 1, 1, 1, 0],
+    [0, 0, 1, 1, 1, 1, 0, 1, 1, 1],
+    [1, 0, 1, 0, 1, 0, 0, 1, 1, 1],
+    [1, 1, 1, 0, 0, 0, 1, 1, 1, 1],
+    [1, 1, 0, 0, 0, 1, 1, 0, 1, 1],
+]
+H_MATRIX = np.concatenate([np.eye(10, dtype=np.int32),
+                           np.array(_H_LOWER, dtype=np.int32)])
+
+SYNDROMES = np.array(
+    [
+        [1, 1, 1, 1, 0, 1, 1, 0, 0, 0],  # A
+        [1, 1, 1, 1, 0, 1, 0, 1, 0, 0],  # B
+        [1, 0, 0, 1, 0, 1, 1, 1, 0, 0],  # C
+        [1, 0, 0, 1, 0, 1, 1, 0, 0, 0],  # D
+    ],
+    dtype=np.int32,
+)
+SYNDROME_NAMES = ["A", "B", "C", "D"]
+
+CARRY_BITS = 27  # model/fmRDSblock.py:346 carries position-1 onward
+
+
+class FrameState(NamedTuple):
+    offset: jax.Array        # int32 clock offset into the RRC block
+    start_pos: jax.Array     # int32 0/1 Manchester phase
+    lonely_bit: jax.Array    # float last unpaired symbol (start_pos=1 carry)
+    prebit: jax.Array        # int32 differential-decode carry
+    first_block: jax.Array   # bool
+    carry: jax.Array         # int32 (CARRY_BITS,) frame-sync bit carry
+    carry_len: jax.Array     # int32 (0 on the first block, then 27)
+    base_pos: jax.Array      # int32 global position of this block's window 0
+    last_position: jax.Array  # int32, -1 until first sync
+
+
+class FrameOutputs(NamedTuple):
+    n_sym: jax.Array         # int32
+    symbols_i: jax.Array     # (S_MAX,) float, padded
+    symbols_q: jax.Array     # (S_MAX,) float (constellation diagnostics)
+    n_windows: jax.Array     # int32
+    syndrome_id: jax.Array   # (W_MAX,) int32: 0 none, 1..4 = A..D
+    is_sync: jax.Array       # (W_MAX,) bool: accepted (26-spaced) sync
+    is_false_pos: jax.Array  # (W_MAX,) bool: matched but wrongly spaced
+    positions: jax.Array     # (W_MAX,) int32 global bit positions
+
+
+def frame_init(cfg: ReceiverConfig, dtype=jnp.float32) -> FrameState:
+    i32 = jnp.int32
+    return FrameState(
+        offset=jnp.zeros((), i32),
+        start_pos=jnp.zeros((), i32),
+        lonely_bit=jnp.zeros((), dtype),
+        prebit=jnp.zeros((), i32),
+        first_block=jnp.ones((), jnp.bool_),
+        carry=jnp.zeros((CARRY_BITS,), i32),
+        carry_len=jnp.zeros((), i32),
+        base_pos=jnp.zeros((), i32),
+        last_position=jnp.full((), -1, i32),
+    )
+
+
+def frame_sizes(cfg: ReceiverConfig) -> tuple[int, int, int, int]:
+    """(S_MAX symbols, B_MAX bits, E_MAX ext bits, W_MAX windows) per block."""
+    r_len = cfg.rds_len
+    s_max = r_len // cfg.rds.sps
+    b_max = s_max // 2
+    e_max = CARRY_BITS + b_max
+    w_max = e_max - 26
+    return s_max, b_max, e_max, w_max
+
+
+def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
+               use_abs_clock: bool = False):
+    """Returns ``frame(state, rrc_i, rrc_q) -> (outputs, new_state)``.
+
+    Operates per channel (1-D inputs of length cfg.rds_len); ``jax.vmap``
+    for multi-channel use.
+    """
+    assert offset_mode in ("hold", "track")
+    r_len = cfg.rds_len
+    sps = cfg.rds.sps
+    s_max, b_max, e_max, w_max = frame_sizes(cfg)
+    h_mat = jnp.asarray(H_MATRIX)
+    synds = jnp.asarray(SYNDROMES)
+
+    def frame(state: FrameState, rrc_i: jax.Array, rrc_q: jax.Array):
+        i32 = jnp.int32
+
+        # ---- clock recovery (model/fmRDSblock.py:207-219) ----
+        first24 = rrc_i[:sps]
+        peak = jnp.abs(first24) if use_abs_clock else first24
+        offset0 = jnp.argmax(peak).astype(i32)
+        offset = jnp.where(state.first_block, offset0, state.offset)
+
+        sym_idx = offset + sps * jnp.arange(s_max, dtype=i32)
+        sym_valid = sym_idx < r_len
+        sym_i = jnp.where(sym_valid, rrc_i[jnp.clip(sym_idx, 0, r_len - 1)], 0.0)
+        sym_q = jnp.where(sym_valid, rrc_q[jnp.clip(sym_idx, 0, r_len - 1)], 0.0)
+        n_sym = ((r_len - offset + sps - 1) // sps).astype(i32)
+
+        if offset_mode == "track":
+            new_offset = (sps + r_len - offset - sps * n_sym).astype(i32)
+        else:
+            new_offset = offset
+
+        # ---- Manchester phase screening, first block only
+        # (model/fmRDSblock.py:233-250) ----
+        def same_sign(a, b):
+            return ((a > 0) & (b > 0)) | ((a < 0) & (b < 0))
+
+        m = jnp.arange(s_max // 4, dtype=i32)
+        m_mask = m < n_sym // 4
+        a0 = sym_i[2 * m]
+        a1 = sym_i[2 * m + 1]
+        a2 = sym_i[jnp.clip(2 * m + 2, 0, s_max - 1)]
+        c0 = same_sign(a0, a1) & m_mask
+        c1 = (~same_sign(a0, a1)) & same_sign(a1, a2) & m_mask
+        count0 = jnp.sum(c0.astype(i32))
+        count1 = jnp.sum(c1.astype(i32))
+        start0 = jnp.where(count0 > count1, 1, 0).astype(i32)
+        start_pos = jnp.where(state.first_block, start0, state.start_pos)
+
+        # ---- symbol pairs -> bits (model/fmRDSblock.py:252-277) ----
+        j = jnp.arange(b_max, dtype=i32)
+        a_idx = 2 * j - start_pos          # j=0, sp=1 handled by front bit
+        b_idx = 2 * j + 1 - start_pos
+        sa = sym_i[jnp.clip(a_idx, 0, s_max - 1)]
+        sb = sym_i[jnp.clip(b_idx, 0, s_max - 1)]
+        pair_bits = (sa > sb).astype(i32)
+        front = ((state.lonely_bit > sym_i[0]) & ~state.first_block).astype(i32)
+        bits = jnp.where((j == 0) & (start_pos == 1), front, pair_bits)
+        n_bits = (n_sym // 2).astype(i32)
+        lonely = jnp.where(start_pos == 1, sym_i[n_sym - 1], state.lonely_bit)
+
+        # ---- differential decode (model/fmRDSblock.py:281-292) ----
+        prev = jnp.concatenate([state.prebit[None], bits[:-1]])
+        diff_all = jnp.bitwise_xor(bits, prev)
+        shift = jnp.where(state.first_block, 1, 0).astype(i32)
+        diff = jnp.roll(diff_all, -shift)
+        n_diff = n_bits - shift
+        prebit_new = bits[n_bits - 1]
+
+        # ---- frame sync (model/fmRDSblock.py:296-346) ----
+        # ext = [carry (carry_len) | diff (n_diff)], fixed size e_max; the
+        # dynamic diff placement may spill padded bits past the valid length,
+        # which the w < n_windows mask below ignores.
+        ext = jax.lax.dynamic_update_slice(jnp.zeros((e_max,), i32), diff,
+                                           (state.carry_len,))
+        carry_mask = jnp.arange(e_max, dtype=i32) < state.carry_len
+        carry_padded = jnp.concatenate(
+            [state.carry, jnp.zeros((e_max - CARRY_BITS,), i32)])
+        ext = jnp.where(carry_mask, carry_padded, ext)
+
+        length = state.carry_len + n_diff
+        n_windows = length - 26
+
+        w = jnp.arange(w_max, dtype=i32)
+        win_idx = w[:, None] + jnp.arange(26, dtype=i32)[None, :]
+        windows = ext[jnp.clip(win_idx, 0, e_max - 1)]
+        # GF(2) syndrome: one int matmul over every window at once
+        synd = jnp.mod(
+            jax.lax.dot_general(
+                windows, h_mat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32),
+            2)
+        match = jnp.all(synd[:, None, :] == synds[None, :, :], axis=-1)
+        sid = jnp.where(jnp.any(match, axis=-1),
+                        jnp.argmax(match, axis=-1).astype(i32) + 1, 0)
+
+        positions = state.base_pos + w
+        w_valid = w < n_windows
+
+        def scan_fn(last_pos, inp):
+            sid_w, gp, valid = inp
+            is_match = (sid_w > 0) & valid
+            ok = (last_pos < 0) | (gp - last_pos == 26)
+            real = is_match & ok
+            fp = is_match & ~ok
+            last_pos = jnp.where(real, gp, last_pos)
+            return last_pos, (real, fp)
+
+        last_position, (is_sync, is_fp) = jax.lax.scan(
+            scan_fn, state.last_position, (sid, positions, w_valid))
+
+        carry_new = jax.lax.dynamic_slice(ext, (n_windows - 1,), (CARRY_BITS,))
+        base_new = state.base_pos + n_windows - 1
+
+        outputs = FrameOutputs(
+            n_sym=n_sym, symbols_i=sym_i, symbols_q=sym_q,
+            n_windows=n_windows, syndrome_id=sid, is_sync=is_sync,
+            is_false_pos=is_fp, positions=positions)
+        new_state = FrameState(
+            offset=new_offset, start_pos=start_pos, lonely_bit=lonely,
+            prebit=prebit_new, first_block=jnp.zeros((), jnp.bool_),
+            carry=carry_new, carry_len=jnp.full((), CARRY_BITS, i32),
+            base_pos=base_new, last_position=last_position)
+        return outputs, new_state
+
+    return frame

@@ -1,0 +1,90 @@
+"""RDS DSP chain: 57 kHz subcarrier to RRC-filtered baseband.
+
+Replaces the reference rds_thread (src/fm_radio.cpp:321-441), following the
+golden model (model/fmRDSblock.py:154-204):
+
+  extract BPF 54-60 kHz -> squaring nonlinearity -> BPF 113.5-114.5 kHz ->
+  PLL at 114 kHz (nco_scale=0.5 -> coherent 57 kHz, phase_adjust tuned) ->
+  I/Q mixers (x2) -> LPF 3 kHz -> rational resample x19/80 to 57 kS/s ->
+  RRC matched filter.
+
+The reference's fused square+BPF+PLL kernel (C15, src/helper.cpp:108-173)
+and mixer+LPF kernel (C11, src/filter.cpp:373-401) exist here as plain
+composition — XLA fuses the elementwise squaring/mixing into the
+convolutions' inputs.  I and Q branches share filters via a stacked leading
+dim (one convolution each for LPF/resampler/RRC).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rtsdr_tpu.config import ReceiverConfig
+from rtsdr_tpu.ops import coeffs
+from rtsdr_tpu.ops.fir import fir_block, fir_resample, fir_zi, resample_zi
+from rtsdr_tpu.ops.pll import PLLState, pll, pll_init
+
+
+class RDSState(NamedTuple):
+    extract_zi: jax.Array   # (..., taps-1)
+    squared_zi: jax.Array   # (..., taps-1)
+    pll: PLLState
+    lpf_zi: jax.Array       # (..., 2, taps-1) I/Q stacked
+    resamp_zi: jax.Array    # (..., 2, anti_img_taps-1) upsampled domain
+    rrc_zi: jax.Array       # (..., 2, rrc_taps-1)
+
+
+def rds_init(cfg: ReceiverConfig, batch_shape: tuple = (),
+             dtype=jnp.float32) -> RDSState:
+    r = cfg.rds
+    return RDSState(
+        extract_zi=fir_zi(r.taps, batch_shape, dtype),
+        squared_zi=fir_zi(r.taps, batch_shape, dtype),
+        pll=pll_init(batch_shape, dtype),
+        lpf_zi=fir_zi(r.taps, (*batch_shape, 2), dtype),
+        resamp_zi=resample_zi(r.anti_img_taps, (*batch_shape, 2), dtype),
+        rrc_zi=fir_zi(r.rrc_taps, (*batch_shape, 2), dtype),
+    )
+
+
+def make_rds(cfg: ReceiverConfig):
+    """Returns ``rds(state, fm_demod) -> ((rrc_i, rrc_q), new_state)``.
+
+    fm_demod: (..., if_len); rrc outputs: (..., rds_len) at 57 kS/s.
+    """
+    r = cfg.rds
+    if_fs = cfg.rf.if_fs
+    extract_h = coeffs.bandpass_taps(if_fs, r.extract_lo, r.extract_hi, r.taps)
+    squared_h = coeffs.bandpass_taps(if_fs, r.squared_lo, r.squared_hi, r.taps)
+    lpf_h = coeffs.lowpass_taps(if_fs, r.lpf_fc, r.taps)
+    # anti-image LPF at the dilated rate; cutoff 57k/2 = 28.5 kHz
+    # (model/fmRDSblock.py:105)
+    anti_h = coeffs.lowpass_taps(if_fs * r.up, r.rrc_fs / 2, r.anti_img_taps)
+    rrc_h = coeffs.rrc_taps(r.rrc_fs, r.rrc_taps, r.rrc_beta, r.symbol_rate)
+    pcfg = r.pll
+
+    def rds(state: RDSState, fm: jax.Array):
+        extract, extract_zi = fir_block(fm, extract_h, state.extract_zi)
+        pre_pll, squared_zi = fir_block(extract * extract, squared_h,
+                                        state.squared_zi)
+        nco_i, nco_q, pll_state = pll(
+            pre_pll, state.pll, freq=pcfg.freq, fs=if_fs,
+            nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
+            norm_bandwidth=pcfg.norm_bandwidth)
+
+        # I/Q mixers, stacked so every later filter runs once
+        mixed = 2.0 * extract[..., None, :] * jnp.stack([nco_i, nco_q], axis=-2)
+        lpf, lpf_zi = fir_block(mixed, lpf_h, state.lpf_zi)
+        resamp, resamp_zi = fir_resample(lpf, anti_h, state.resamp_zi,
+                                         r.up, r.down)
+        rrc, rrc_zi = fir_block(resamp, rrc_h, state.rrc_zi)
+
+        new_state = RDSState(
+            extract_zi=extract_zi, squared_zi=squared_zi, pll=pll_state,
+            lpf_zi=lpf_zi, resamp_zi=resamp_zi, rrc_zi=rrc_zi)
+        return (rrc[..., 0, :], rrc[..., 1, :]), new_state
+
+    return rds

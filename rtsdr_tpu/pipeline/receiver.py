@@ -1,0 +1,146 @@
+"""Full receiver: one jitted block-step over the whole signal-flow graph.
+
+The reference runs four pthreads with bounded queues (src/fm_radio.cpp:
+767-792); here the complete graph — front end, mono+stereo audio, RDS DSP,
+RDS bit layer — is ONE pure function
+
+    step(state, raw_u8) -> (state, outputs)
+
+traced and compiled once by XLA.  The fan-out of the demodulated signal to
+the audio and RDS branches (the reference's dual queue push,
+src/fm_radio.cpp:124-125) is just two uses of one value; the ring buffer
+becomes the donated state pytree (zero-copy in-place update on device).
+
+uint8 -> float conversion runs on device: the host transfers 1 byte per
+sample and the VPU does (x - 128)/128 (the reference converts on the host,
+src/iofunc.cpp:67).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rtsdr_tpu.config import ReceiverConfig
+from rtsdr_tpu.pipeline.audio import AudioState, audio_init, make_audio
+from rtsdr_tpu.pipeline.frame import (
+    FrameOutputs,
+    FrameState,
+    frame_init,
+    make_frame,
+)
+from rtsdr_tpu.pipeline.frontend import (
+    FrontendState,
+    frontend_init,
+    make_frontend,
+)
+from rtsdr_tpu.pipeline.rds import RDSState, make_rds, rds_init
+
+
+class ReceiverState(NamedTuple):
+    frontend: FrontendState
+    audio: AudioState
+    rds: RDSState | None
+    frame: FrameState | None
+
+
+class ReceiverOutputs(NamedTuple):
+    left: jax.Array    # (..., audio_len) 48 kS/s
+    right: jax.Array
+    mono: jax.Array
+    rds: Any           # FrameOutputs | (rrc_i, rrc_q) | None
+
+
+def make_receiver(
+    cfg: ReceiverConfig,
+    batch_shape: tuple = (),
+    dtype=jnp.float32,
+    *,
+    enable_rds: bool | None = None,
+    enable_frame: bool = True,
+    offset_mode: str = "hold",
+    use_abs_clock: bool = False,
+):
+    """Build ``(init_fn, step_fn)`` for the full receiver.
+
+    ``batch_shape`` prepends channel dimensions: every state leaf and every
+    input/output gains those leading dims, and all DSP runs batched (the
+    multi-station use case).
+
+    ``step_fn(state, raw_u8)``: raw_u8 is (..., block_size) interleaved
+    uint8 IQ.
+    """
+    if enable_rds is None:
+        enable_rds = cfg.rds is not None
+    if enable_rds and cfg.rds is None:
+        raise ValueError(f"mode {cfg.mode} has no RDS path")
+
+    frontend = make_frontend(cfg)
+    audio = make_audio(cfg)
+    rds_fn = make_rds(cfg) if enable_rds else None
+    frame_fn = None
+    if enable_rds and enable_frame:
+        frame_fn = make_frame(cfg, offset_mode=offset_mode,
+                              use_abs_clock=use_abs_clock)
+        for _ in batch_shape:
+            frame_fn = jax.vmap(frame_fn)
+
+    def init_fn() -> ReceiverState:
+        rds_state = rds_init(cfg, batch_shape, dtype) if enable_rds else None
+        frame_state = None
+        if frame_fn is not None:
+            fs = frame_init(cfg, dtype)
+            if batch_shape:
+                fs = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, batch_shape + x.shape), fs)
+            frame_state = fs
+        return ReceiverState(
+            frontend=frontend_init(cfg, batch_shape, dtype),
+            audio=audio_init(cfg, batch_shape, dtype),
+            rds=rds_state,
+            frame=frame_state,
+        )
+
+    def step_fn(state: ReceiverState, raw_u8: jax.Array):
+        x = (raw_u8.astype(dtype) - 128.0) * (1.0 / 128.0)
+        i = x[..., 0::2]
+        q = x[..., 1::2]
+
+        fm, fe_state = frontend(state.frontend, i, q)
+        (left, right, mono), au_state = audio(state.audio, fm)
+
+        rds_state = None
+        frame_state = None
+        rds_out = None
+        if rds_fn is not None:
+            (rrc_i, rrc_q), rds_state = rds_fn(state.rds, fm)
+            if frame_fn is not None:
+                rds_out, frame_state = frame_fn(state.frame, rrc_i, rrc_q)
+            else:
+                rds_out = (rrc_i, rrc_q)
+
+        new_state = ReceiverState(frontend=fe_state, audio=au_state,
+                                  rds=rds_state, frame=frame_state)
+        return new_state, ReceiverOutputs(left=left, right=right, mono=mono,
+                                          rds=rds_out)
+
+    return init_fn, step_fn
+
+
+class Receiver:
+    """Convenience wrapper: jitted step with donated state."""
+
+    def __init__(self, cfg: ReceiverConfig, batch_shape: tuple = (),
+                 dtype=jnp.float32, jit: bool = True, **kwargs):
+        self.cfg = cfg
+        self.batch_shape = batch_shape
+        self.init_fn, step = make_receiver(cfg, batch_shape, dtype, **kwargs)
+        self.step = jax.jit(step, donate_argnums=0) if jit else step
+
+    def init(self) -> ReceiverState:
+        state = self.init_fn()
+        # Identical zero-leaves can share one device buffer, which breaks
+        # donation ("donate the same buffer twice"); force distinct buffers.
+        return jax.tree.map(lambda x: jnp.array(x, copy=True), state)
