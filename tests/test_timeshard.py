@@ -1,0 +1,99 @@
+"""Time-block sharding must be bit-equivalent to the serial receiver.
+
+Runs on the virtual 8-device CPU mesh; halo exchange + pipelined PLL
+handoff reproduce serial overlap-save semantics exactly (SURVEY.md §7 hard
+part #2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtsdr_tpu.config import MODE0, MODE1
+from rtsdr_tpu.parallel.mesh import make_mesh
+from rtsdr_tpu.parallel.channels import make_channel_sharded_receiver
+from rtsdr_tpu.parallel.timeshard import make_time_sharded_receiver
+from rtsdr_tpu.pipeline.receiver import make_receiver
+
+from oracles import synth_multiplex_iq
+
+
+N_BLOCKS = 2
+
+
+@pytest.fixture(scope="module")
+def station_u8():
+    return synth_multiplex_iq(N_BLOCKS * MODE0.block_size // 2)
+
+
+def _run_serial(cfg, raw, n_channels, n_blocks, **kw):
+    init_fn, step_fn = make_receiver(cfg, (n_channels,), jnp.float32, **kw)
+    state = init_fn()
+    step = jax.jit(step_fn)
+    outs = []
+    bs = cfg.block_size
+    for b in range(n_blocks):
+        blk = jnp.asarray(np.stack([raw[b * bs:(b + 1) * bs]] * n_channels))
+        state, out = step(state, blk)
+        outs.append(out)
+    return state, outs
+
+
+@pytest.mark.parametrize("t_shards,ch_shards", [(2, 1), (4, 2), (8, 1)])
+def test_time_sharded_equals_serial(station_u8, t_shards, ch_shards):
+    n_channels = 2 * ch_shards
+    mesh = make_mesh(ch_shards, t_shards)
+    init_fn, step_fn = make_time_sharded_receiver(
+        MODE0, mesh, n_channels, jnp.float32)
+    state = init_fn()
+
+    ser_state, ser_outs = _run_serial(MODE0, station_u8, n_channels, N_BLOCKS)
+
+    bs = MODE0.block_size
+    for b in range(N_BLOCKS):
+        blk = jnp.asarray(
+            np.stack([station_u8[b * bs:(b + 1) * bs]] * n_channels))
+        state, out = step_fn(state, blk)
+        ref = ser_outs[b]
+        np.testing.assert_array_equal(np.asarray(out.left),
+                                      np.asarray(ref.left), err_msg=f"b{b} L")
+        np.testing.assert_array_equal(np.asarray(out.right),
+                                      np.asarray(ref.right), err_msg=f"b{b} R")
+        np.testing.assert_array_equal(np.asarray(out.rds.syndrome_id),
+                                      np.asarray(ref.rds.syndrome_id))
+        np.testing.assert_array_equal(np.asarray(out.rds.symbols_i),
+                                      np.asarray(ref.rds.symbols_i))
+
+    # carried state identical too
+    for ours, ref in zip(jax.tree.leaves(state), jax.tree.leaves(ser_state)):
+        np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_time_sharded_mode1(station_u8):
+    iq = synth_multiplex_iq(N_BLOCKS * MODE1.block_size // 2, rf_fs=2.5e6)
+    mesh = make_mesh(2, 4)
+    init_fn, step_fn = make_time_sharded_receiver(MODE1, mesh, 2, jnp.float32)
+    state = init_fn()
+    ser_state, ser_outs = _run_serial(MODE1, iq, 2, N_BLOCKS)
+    bs = MODE1.block_size
+    for b in range(N_BLOCKS):
+        blk = jnp.asarray(np.stack([iq[b * bs:(b + 1) * bs]] * 2))
+        state, out = step_fn(state, blk)
+        np.testing.assert_array_equal(np.asarray(out.left),
+                                      np.asarray(ser_outs[b].left))
+
+
+def test_channel_sharded_equals_serial(station_u8):
+    mesh = make_mesh(8, 1)
+    init_fn, step_fn, _ = make_channel_sharded_receiver(MODE0, mesh, 8,
+                                                        jnp.float32)
+    state = init_fn()
+    ser_state, ser_outs = _run_serial(MODE0, station_u8, 8, 1)
+    bs = MODE0.block_size
+    blk = jnp.asarray(np.stack([station_u8[:bs]] * 8))
+    state, out = step_fn(state, blk)
+    np.testing.assert_array_equal(np.asarray(out.left),
+                                  np.asarray(ser_outs[0].left))
+    np.testing.assert_array_equal(np.asarray(out.rds.syndrome_id),
+                                  np.asarray(ser_outs[0].rds.syndrome_id))
