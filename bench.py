@@ -1,0 +1,90 @@
+"""Benchmark: mono-chain throughput per chip (the reference's headline path).
+
+Headline metric: real-time multiple of the mono audio chain (RF front-end
+FIR + discriminator + mono LPF/decimation) per chip, batched over FM
+channels.  One processing block = 153,600 IQ pairs = 64 ms of air time at
+2.4 MS/s (reference src/fm_radio.cpp:23).
+
+Baseline: the reference's mono mode-0 chain on its report hardware takes
+9.294e-3 + 9.246e-5 + 5.944e-4 s ~= 9.98 ms per 64 ms block => 6.41x
+real time (BASELINE.md rows 1-3).  vs_baseline is ours/6.41.
+
+Inputs are pre-staged on device (a deployment streams blocks via async
+host transfer which overlaps compute; the tunnel-attached dev chip would
+otherwise measure network, not TPU).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtsdr_tpu.config import MODE0
+from rtsdr_tpu.pipeline.receiver import make_receiver
+
+BASELINE_REALTIME = 64e-3 / (9.294e-3 + 9.246e-5 + 5.944e-4)  # 6.41x
+
+
+def _bench_chain(n_channels: int, n_warmup: int = 3, n_iter: int = 20,
+                 **kwargs) -> dict:
+    cfg = MODE0
+    init_fn, step_fn = make_receiver(cfg, (n_channels,), jnp.float32, **kwargs)
+    step = jax.jit(step_fn, donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    n_bufs = 4
+    raws = [
+        jax.device_put(rng.integers(0, 256, (n_channels, cfg.block_size),
+                                    dtype=np.uint8))
+        for _ in range(n_bufs)
+    ]
+    state = jax.tree.map(lambda x: jnp.array(x, copy=True), init_fn())
+
+    for i in range(n_warmup):
+        state, out = step(state, raws[i % n_bufs])
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        state, out = step(state, raws[i % n_bufs])
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    iq_pairs = n_channels * cfg.iq_len
+    air_time = cfg.iq_len / cfg.rf.fs  # 64 ms per block per channel
+    return {
+        "sec_per_step": dt,
+        "channels": n_channels,
+        "iq_msamples_per_sec": iq_pairs / dt / 1e6,
+        "realtime_multiple": n_channels * air_time / dt,
+    }
+
+
+def main():
+    mono = _bench_chain(128, enable_rds=False, enable_stereo=False)
+    full = _bench_chain(256)  # mono+stereo+RDS+frame, PLL-scan-bound
+
+    result = {
+        "metric": "mono_chain_realtime_multiple_per_chip",
+        "value": round(mono["realtime_multiple"], 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(mono["realtime_multiple"] / BASELINE_REALTIME, 1),
+        "extra": {
+            "mono_iq_msamples_per_sec": round(mono["iq_msamples_per_sec"], 1),
+            "mono_channels": mono["channels"],
+            "mono_sec_per_block_batch": mono["sec_per_step"],
+            "full_chain_realtime_multiple": round(full["realtime_multiple"], 1),
+            "full_chain_channels": full["channels"],
+            "full_chain_sec_per_block_batch": full["sec_per_step"],
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

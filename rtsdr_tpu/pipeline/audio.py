@@ -29,10 +29,10 @@ from rtsdr_tpu.ops.pll import PLLState, pll, pll_init
 
 class AudioState(NamedTuple):
     mono_zi: jax.Array      # (..., mono_taps*up - 1) in the resampler domain
-    pilot_zi: jax.Array     # (..., stereo_taps-1)
-    chan_zi: jax.Array      # (..., stereo_taps-1)
-    stereo_zi: jax.Array    # (..., mono_taps*up - 1) post-mix LPF/resampler
-    pll: PLLState
+    pilot_zi: jax.Array | None   # (..., stereo_taps-1); None if mono-only
+    chan_zi: jax.Array | None    # (..., stereo_taps-1)
+    stereo_zi: jax.Array | None  # (..., mono_taps*up - 1) post-mix resampler
+    pll: PLLState | None
 
 
 def _audio_taps(cfg: ReceiverConfig) -> int:
@@ -43,8 +43,12 @@ def _audio_taps(cfg: ReceiverConfig) -> int:
 
 
 def audio_init(cfg: ReceiverConfig, batch_shape: tuple = (),
-               dtype=jnp.float32) -> AudioState:
+               dtype=jnp.float32, enable_stereo: bool = True) -> AudioState:
     taps = _audio_taps(cfg)
+    if not enable_stereo:
+        return AudioState(mono_zi=resample_zi(taps, batch_shape, dtype),
+                          pilot_zi=None, chan_zi=None, stereo_zi=None,
+                          pll=None)
     return AudioState(
         mono_zi=resample_zi(taps, batch_shape, dtype),
         pilot_zi=fir_zi(cfg.stereo.taps, batch_shape, dtype),
@@ -54,10 +58,12 @@ def audio_init(cfg: ReceiverConfig, batch_shape: tuple = (),
     )
 
 
-def make_audio(cfg: ReceiverConfig):
+def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True):
     """Returns ``audio(state, fm_demod) -> ((left, right, mono), new_state)``.
 
     fm_demod: (..., if_len); outputs at 48 kS/s: (..., audio_len).
+    With ``enable_stereo=False`` only the mono chain runs and left = right
+    = mono (the reference's mono-only lab configuration).
     """
     if_fs = cfg.rf.if_fs
     up, down = cfg.mono.up, cfg.mono.down
@@ -75,6 +81,11 @@ def make_audio(cfg: ReceiverConfig):
         # mono path; gain=up restores the resampler's Parseval loss
         # (C++ applies the same x24 at emit, src/fm_radio.cpp:206,297)
         mono, mono_zi = fir_resample(fm, mono_h, state.mono_zi, up, down)
+
+        if not enable_stereo:
+            new_state = AudioState(mono_zi=mono_zi, pilot_zi=None,
+                                   chan_zi=None, stereo_zi=None, pll=None)
+            return (mono, mono, mono), new_state
 
         # stereo pilot -> 38 kHz NCO
         pilot, pilot_zi = fir_block(fm, pilot_h, state.pilot_zi)

@@ -60,6 +60,7 @@ def make_receiver(
     *,
     enable_rds: bool | None = None,
     enable_frame: bool = True,
+    enable_stereo: bool = True,
     offset_mode: str = "hold",
     use_abs_clock: bool = False,
 ):
@@ -78,7 +79,7 @@ def make_receiver(
         raise ValueError(f"mode {cfg.mode} has no RDS path")
 
     frontend = make_frontend(cfg)
-    audio = make_audio(cfg)
+    audio = make_audio(cfg, enable_stereo=enable_stereo)
     rds_fn = make_rds(cfg) if enable_rds else None
     frame_fn = None
     if enable_rds and enable_frame:
@@ -98,7 +99,8 @@ def make_receiver(
             frame_state = fs
         return ReceiverState(
             frontend=frontend_init(cfg, batch_shape, dtype),
-            audio=audio_init(cfg, batch_shape, dtype),
+            audio=audio_init(cfg, batch_shape, dtype,
+                             enable_stereo=enable_stereo),
             rds=rds_state,
             frame=frame_state,
         )
