@@ -1,0 +1,108 @@
+"""Host streaming loop: fd -> prefetching reader -> device step -> emitter.
+
+The reference's real-time loop is four threads with queues
+(src/fm_radio.cpp:62-146,209-317).  Here the host loop pipelines three
+things instead: the C++ reader thread prefetches stdin blocks, JAX's async
+dispatch overlaps device compute with the host, and output fetch/emission
+of block b happens while block b+1 computes.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtsdr_tpu.config import ReceiverConfig
+from rtsdr_tpu.pipeline.frame import SYNDROME_NAMES
+from rtsdr_tpu.pipeline.receiver import Receiver
+from rtsdr_tpu.runtime import BlockReader, emit_int16_interleave
+
+
+def format_rds_events(frame_out) -> list[str]:
+    """Render frame-sync events as the reference's stderr lines
+    (src/fm_radio.cpp:652-712)."""
+    lines = []
+    n_w = int(frame_out.n_windows)
+    sid = np.asarray(frame_out.syndrome_id)
+    sync = np.asarray(frame_out.is_sync)
+    fp = np.asarray(frame_out.is_false_pos)
+    pos = np.asarray(frame_out.positions)
+    for w in range(n_w):
+        if sid[w]:
+            name = SYNDROME_NAMES[int(sid[w]) - 1]
+            if sync[w]:
+                lines.append(f"Syndrome {name} at position {int(pos[w])}")
+            elif fp[w]:
+                lines.append(
+                    f"False positive Syndrome {name} at position {int(pos[w])}")
+    return lines
+
+
+class StreamRunner:
+    """Single-station streaming receiver over a byte stream."""
+
+    def __init__(self, cfg: ReceiverConfig, dtype=jnp.float32, **kwargs):
+        self.cfg = cfg
+        self.rx = Receiver(cfg, (), dtype, **kwargs)
+
+    def run(
+        self,
+        fd_in: int,
+        emit: Callable[[bytes], None] | None = None,
+        rds_log: Callable[[str], None] | None = None,
+        max_blocks: int | None = None,
+        audio_scale: float | None = None,
+    ) -> dict:
+        """Process blocks until EOF; returns summary stats.
+
+        emit: called with interleaved int16 stereo bytes per block.
+        rds_log: called per RDS frame-sync event line.
+        """
+        cfg = self.cfg
+        scale = cfg.audio_scale if audio_scale is None else audio_scale
+        state = self.rx.init()
+        n_blocks = 0
+        n_syncs = 0
+        pending = None  # outputs of the previous block, fetched lazily
+
+        def drain(out):
+            nonlocal n_syncs
+            if out is None:
+                return
+            left = np.asarray(out.left)
+            right = np.asarray(out.right)
+            if emit is not None:
+                emit(emit_int16_interleave(left, right, scale).tobytes())
+            if out.rds is not None and rds_log is not None:
+                for line in format_rds_events(out.rds):
+                    rds_log(line)
+                    n_syncs += 1
+
+        with BlockReader(fd_in, cfg.block_size) as reader:
+            while max_blocks is None or n_blocks < max_blocks:
+                raw = reader.read_block()
+                if raw is None:
+                    break
+                state, out = self.rx.step(state, jnp.asarray(raw))
+                drain(pending)  # overlap: emit block b-1 while b computes
+                pending = out
+                n_blocks += 1
+        drain(pending)
+        return {"blocks": n_blocks, "rds_events": n_syncs}
+
+
+def main_loop(cfg: ReceiverConfig, max_blocks=None, **kwargs) -> dict:
+    """Reference-compatible shell-pipeline mode:
+    ``rtl_sdr ... | python -m rtsdr_tpu.cli [mode] | aplay ...``"""
+    runner = StreamRunner(cfg, **kwargs)
+    out = sys.stdout.buffer
+    return runner.run(
+        sys.stdin.fileno(),
+        emit=lambda b: (out.write(b), out.flush()),
+        rds_log=lambda s: print(s, file=sys.stderr),
+        max_blocks=max_blocks,
+    )
