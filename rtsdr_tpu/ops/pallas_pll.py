@@ -1,0 +1,203 @@
+"""Pallas TPU kernel for the PLL/NCO recurrence.
+
+The PLL is the full chain's bottleneck: a strictly sequential per-sample
+loop (SURVEY.md §7 hard part #1).  Two structural observations make it
+fast without changing the math:
+
+1. **The phase detector needs no atan2.**  Its input is
+   ``(x*cos(a), -x*sin(a))`` with ``a`` the previous feedback argument, so
+   ``atan2(-x sin a, x cos a)`` is exactly ``wrap_pi(-a)`` for x>0,
+   ``wrap_pi(pi-a)`` for x<0, and 0 for x==0 — a select plus a wrap.
+
+2. **No transcendental is inside the loop at all.**  With (1), the
+   recurrence over (integrator, phase, arg, theta) is pure add/mul/select/
+   mod; the NCO outputs ``cos/sin(arg*scale + adjust)`` depend on the arg
+   *sequence* but never feed back.  The kernel therefore emits the arg
+   sequence with ~12 cheap VPU ops per step, and the cos/sin run afterwards
+   as one fully-vectorized batched pass that XLA fuses.
+
+Layout: x transposed to (N, C) with channels in the lane dimension; the
+loop walks 8 time-steps per iteration (one aligned (8, C) load/store, eight
+register-resident sub-steps); the grid walks N in VMEM-sized chunks with
+Pallas double-buffering the DMA.  Numerically equivalent to ``ops.pll.pll``
+(same update order, same mod-4pi wrapping; float32).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rtsdr_tpu.ops.pll import PLLState
+
+_FOUR_PI = 4.0 * math.pi
+_PI = math.pi
+_TWO_PI = 2.0 * math.pi
+_LANES = 128
+
+
+def _wrap_pi(z):
+    """Wrap to [-pi, pi] — branch-free, any input range."""
+    return z - _TWO_PI * jnp.round(z * (1.0 / _TWO_PI))
+
+
+def _kernel(x_ref, s_ref, arg_ref, s_out_ref, carry,
+            *, kp, ki, dtheta, chunk):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry[:] = s_ref[:]
+
+    # carry rows: 0 integ, 1 phase, 2 arg (feedback trig argument), 4 theta
+    c0 = (carry[0, :], carry[1, :], carry[2, :], carry[4, :])
+
+    def body(j, c):
+        integ, phase, arg, theta = c
+        base = pl.multiple_of(j * 8, 8)
+        xb = x_ref[pl.ds(base, 8), :]
+        rows = []
+        for r in range(8):
+            xk = xb[r, :]
+            # select-free detector (jnp.where on 1-D vectors is pathological
+            # in Mosaic): s=sign(x); error = s^2 * wrap_pi(-arg + pi*(1-s)/2)
+            # == wrap_pi(-arg) for x>0, wrap_pi(pi-arg) for x<0, 0 for x==0.
+            s = jnp.sign(xk)
+            error_d = (s * s) * _wrap_pi(-arg + (_PI * 0.5) * (1.0 - s))
+            integ = integ + ki * error_d
+            phase = jnp.mod(phase + kp * error_d + integ, _FOUR_PI)
+            theta = jnp.mod(theta + dtheta, _FOUR_PI)
+            arg = theta + phase
+            rows.append(arg)
+        arg_ref[pl.ds(base, 8), :] = jnp.stack(rows)
+        return (integ, phase, arg, theta)
+
+    integ, phase, arg, theta = jax.lax.fori_loop(0, chunk // 8, body, c0)
+
+    carry[0, :] = integ
+    carry[1, :] = phase
+    carry[2, :] = arg
+    carry[4, :] = theta
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        s_out_ref[:] = carry[:]
+
+
+def pll_pallas(
+    x: jax.Array,
+    state: PLLState,
+    *,
+    freq: float,
+    fs: float,
+    nco_scale: float = 1.0,
+    phase_adjust: float = 0.0,
+    norm_bandwidth: float = 0.01,
+    chunk: int = 4096,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array, PLLState]:
+    """Drop-in replacement for ``ops.pll.pll`` (float32, TPU-compiled).
+
+    x: (..., N); state leaves (...,).  Returns the same delayed-by-one NCO
+    views and updated state.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dtype = x.dtype
+    batch_shape = x.shape[:-1]
+    n = x.shape[-1]
+    c_real = 1
+    for d in batch_shape:
+        c_real *= d
+    c = max(_LANES, -(-c_real // _LANES) * _LANES)
+
+    # VMEM budget: 2 (chunk, C) buffers, double-buffered by the pipeline.
+    vmem_rows = max(8, (1024 * 1024) // (4 * c) // 8 * 8)
+    chunk = min(chunk, vmem_rows)
+    if n % chunk != 0 or chunk % 8 != 0:
+        # largest divisor of n that is a multiple of 8 and <= requested
+        chunk = next((s for s in range(min(chunk, n), 7, -1)
+                      if n % s == 0 and s % 8 == 0), None)
+        if chunk is None:
+            raise ValueError(f"PLL block length {n} must have a divisor "
+                             "that is a multiple of 8")
+
+    xt = x.reshape(c_real, n).T  # (N, C_real)
+    if c != c_real:
+        xt = jnp.pad(xt, ((0, 0), (0, c - c_real)))
+
+    def pack(st: PLLState):
+        # row 2 carries the feedback trig argument recovered from
+        # (fb_i, fb_q); any 2*pi ambiguity is harmless (wrapped detector)
+        arg0 = jnp.arctan2(st.fb_q, st.fb_i)
+        rows = [st.integrator, st.phase_est, arg0,
+                jnp.zeros_like(st.theta), st.theta,
+                jnp.zeros_like(st.theta), jnp.zeros_like(st.theta)]
+        m = jnp.stack([r.reshape(c_real) for r in rows]
+                      + [jnp.zeros(c_real, dtype)])
+        if c != c_real:
+            m = jnp.pad(m, ((0, 0), (0, c - c_real)))
+        return m.astype(dtype)
+
+    s_in = pack(state)
+
+    cp, ci = 2.666, 3.555
+    # loop constants are compiled into the kernel as python floats; numpy
+    # float32 rounding first so numerics match the scan implementation
+    f32 = lambda v: float(np.float32(v)) if dtype == jnp.float32 else float(v)
+    kern = partial(
+        _kernel,
+        kp=f32(norm_bandwidth * cp),
+        ki=f32(norm_bandwidth * norm_bandwidth * ci),
+        dtheta=f32(2.0 * math.pi * freq / fs),
+        chunk=chunk,
+    )
+
+    grid = (n // chunk,)
+    args_t, s_out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((chunk, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), dtype),
+            jax.ShapeDtypeStruct((8, c), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, c), dtype)],
+        interpret=interpret,
+    )(xt, s_in)
+
+    # batched NCO synthesis — the transcendentals, fully vectorized
+    args = args_t[:, :c_real].T.reshape(*batch_shape, n)
+    nco_arg = args * jnp.asarray(f32(nco_scale), dtype) + jnp.asarray(
+        f32(phase_adjust), dtype)
+    nco_i_new = jnp.cos(nco_arg)
+    nco_q_new = jnp.sin(nco_arg)
+
+    def unpack_row(i):
+        return s_out[i, :c_real].reshape(batch_shape)
+
+    arg_end = unpack_row(2)
+    new_state = PLLState(
+        integrator=unpack_row(0), phase_est=unpack_row(1),
+        fb_i=jnp.cos(arg_end), fb_q=jnp.sin(arg_end),
+        nco_i=nco_i_new[..., -1], nco_q=nco_q_new[..., -1],
+        theta=unpack_row(4))
+
+    nco_i = jnp.concatenate([state.nco_i[..., None], nco_i_new[..., :-1]],
+                            axis=-1)
+    nco_q = jnp.concatenate([state.nco_q[..., None], nco_q_new[..., :-1]],
+                            axis=-1)
+    return nco_i, nco_q, new_state

@@ -68,12 +68,16 @@ def pll(
     phase_adjust: float = 0.0,
     norm_bandwidth: float = 0.01,
     unroll: int = 8,
+    impl: str = "scan",
 ) -> tuple[jax.Array, jax.Array, PLLState]:
     """Run the PLL over one block.
 
     Args:
       x: (..., N) real input (band-passed pilot / squared carrier).
       state: PLLState with fields shaped (...,).
+      impl: 'scan' (lax.scan, any backend/dtype), 'pallas' (TPU kernel,
+        ~10x lower loop overhead; interpret-mode elsewhere), or 'auto'
+        (pallas for float32 on TPU, else scan).
 
     Returns:
       nco_i, nco_q: (..., N) NCO outputs *delayed by one sample* (the
@@ -81,6 +85,17 @@ def pll(
         last NCO sample).
       new_state.
     """
+    if impl == "auto":
+        use_pallas = (jax.default_backend() == "tpu"
+                      and x.dtype == jnp.float32)
+    else:
+        use_pallas = impl == "pallas"
+    if use_pallas:
+        from rtsdr_tpu.ops.pallas_pll import pll_pallas
+
+        return pll_pallas(
+            x, state, freq=freq, fs=fs, nco_scale=nco_scale,
+            phase_adjust=phase_adjust, norm_bandwidth=norm_bandwidth)
     dtype = x.dtype
     cp, ci = 2.666, 3.555
     kp = jnp.asarray(norm_bandwidth * cp, dtype)

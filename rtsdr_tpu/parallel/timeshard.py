@@ -68,6 +68,7 @@ def make_time_sharded_receiver(
     enable_frame: bool = True,
     offset_mode: str = "hold",
     use_abs_clock: bool = False,
+    pll_impl: str = "auto",
 ):
     """Build ``(init_fn, step_fn)`` sharded over (channel, time).
 
@@ -196,7 +197,7 @@ def make_time_sharded_receiver(
         nco, _, pll_st = pll_chain(
             pilot, state.audio.pll, freq=pcfg.freq, fs=cfg.rf.if_fs,
             nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
-            norm_bandwidth=pcfg.norm_bandwidth)
+            norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl)
         chan, chan_zi = halo_fir(fir_block, fm, chan_h, state.audio.chan_zi)
         mixed = 2.0 * chan * nco
         st_u_tail = _upsampled_tail(mixed, a_taps - 1, up)
@@ -222,7 +223,7 @@ def make_time_sharded_receiver(
             nco_i, nco_q, rds_pll = pll_chain(
                 pre_pll, state.rds.pll, freq=rp.freq, fs=cfg.rf.if_fs,
                 nco_scale=rp.nco_scale, phase_adjust=rp.phase_adjust,
-                norm_bandwidth=rp.norm_bandwidth)
+                norm_bandwidth=rp.norm_bandwidth, impl=pll_impl)
             mixed_rds = 2.0 * extract[..., None, :] * jnp.stack(
                 [nco_i, nco_q], axis=-2)
             lpf, lpf_zi = halo_fir(fir_block, mixed_rds, rds_lpf_h,

@@ -58,7 +58,8 @@ def audio_init(cfg: ReceiverConfig, batch_shape: tuple = (),
     )
 
 
-def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True):
+def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
+               pll_impl: str = "auto"):
     """Returns ``audio(state, fm_demod) -> ((left, right, mono), new_state)``.
 
     fm_demod: (..., if_len); outputs at 48 kS/s: (..., audio_len).
@@ -92,7 +93,7 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True):
         nco, _, pll_state = pll(
             pilot, state.pll, freq=pcfg.freq, fs=if_fs,
             nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
-            norm_bandwidth=pcfg.norm_bandwidth)
+            norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl)
 
         # stereo channel -> mix down to baseband -> LPF + resample
         chan, chan_zi = fir_block(fm, chan_h, state.chan_zi)

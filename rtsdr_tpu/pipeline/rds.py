@@ -50,7 +50,7 @@ def rds_init(cfg: ReceiverConfig, batch_shape: tuple = (),
     )
 
 
-def make_rds(cfg: ReceiverConfig):
+def make_rds(cfg: ReceiverConfig, pll_impl: str = "auto"):
     """Returns ``rds(state, fm_demod) -> ((rrc_i, rrc_q), new_state)``.
 
     fm_demod: (..., if_len); rrc outputs: (..., rds_len) at 57 kS/s.
@@ -73,7 +73,7 @@ def make_rds(cfg: ReceiverConfig):
         nco_i, nco_q, pll_state = pll(
             pre_pll, state.pll, freq=pcfg.freq, fs=if_fs,
             nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
-            norm_bandwidth=pcfg.norm_bandwidth)
+            norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl)
 
         # I/Q mixers, stacked so every later filter runs once
         mixed = 2.0 * extract[..., None, :] * jnp.stack([nco_i, nco_q], axis=-2)

@@ -63,6 +63,7 @@ def make_receiver(
     enable_stereo: bool = True,
     offset_mode: str = "hold",
     use_abs_clock: bool = False,
+    pll_impl: str = "auto",
 ):
     """Build ``(init_fn, step_fn)`` for the full receiver.
 
@@ -79,8 +80,9 @@ def make_receiver(
         raise ValueError(f"mode {cfg.mode} has no RDS path")
 
     frontend = make_frontend(cfg)
-    audio = make_audio(cfg, enable_stereo=enable_stereo)
-    rds_fn = make_rds(cfg) if enable_rds else None
+    audio = make_audio(cfg, enable_stereo=enable_stereo,
+                       pll_impl=pll_impl)
+    rds_fn = make_rds(cfg, pll_impl=pll_impl) if enable_rds else None
     frame_fn = None
     if enable_rds and enable_frame:
         frame_fn = make_frame(cfg, offset_mode=offset_mode,

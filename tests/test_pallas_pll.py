@@ -1,0 +1,53 @@
+"""Pallas PLL kernel vs the lax.scan reference (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtsdr_tpu.ops.pll import pll, pll_init
+from rtsdr_tpu.ops.pallas_pll import pll_pallas
+
+
+def _pilot(n, c=None, fs=240e3, f=19e3):
+    t = np.arange(n) / fs
+    x = np.cos(2 * np.pi * f * t + 0.4)
+    if c is None:
+        return x
+    return np.stack([np.cos(2 * np.pi * f * t + 0.1 * k) for k in range(c)])
+
+
+@pytest.mark.parametrize("batch", [(), (3,), (130,)])
+def test_pallas_matches_scan(batch):
+    n = 1920
+    c = int(np.prod(batch)) if batch else None
+    x = jnp.asarray(_pilot(n, c), jnp.float32)
+
+    st0 = pll_init(batch, jnp.float32)
+    ref_i, ref_q, ref_st = pll(x, st0, freq=19e3, fs=240e3, nco_scale=2.0)
+    our_i, our_q, our_st = pll_pallas(x, pll_init(batch, jnp.float32),
+                                      freq=19e3, fs=240e3, nco_scale=2.0,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(our_i), np.asarray(ref_i),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(our_q), np.asarray(ref_q),
+                               atol=2e-5)
+    for a, b in zip(our_st, ref_st):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pallas_chunking_and_state_chain():
+    """Multi-chunk grid + block chaining must equal one serial scan."""
+    n = 1920 * 4
+    x = jnp.asarray(_pilot(n), jnp.float32)
+    ref_i, _, ref_st = pll(x, pll_init((), jnp.float32), freq=19e3, fs=240e3,
+                           nco_scale=2.0)
+
+    st = pll_init((), jnp.float32)
+    outs = []
+    for b in range(4):
+        xi = x[b * 1920:(b + 1) * 1920]
+        oi, _, st = pll_pallas(xi, st, freq=19e3, fs=240e3, nco_scale=2.0,
+                               chunk=960, interpret=True)
+        outs.append(np.asarray(oi))
+    np.testing.assert_allclose(np.concatenate(outs), np.asarray(ref_i),
+                               atol=5e-5)
