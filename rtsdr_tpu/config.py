@@ -88,6 +88,9 @@ class StereoConfig:
     chan_hi: float = 54e3
     taps: int = 151
     pll: PLLConfig = PLLConfig(freq=19e3, nco_scale=2.0, norm_bandwidth=0.01)
+    # Golden-model NCO mixer view (time-aligned; see ops/pll.py
+    # delay_output).  False shifts the NCO one sample early (diagnostic).
+    nco_delay: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

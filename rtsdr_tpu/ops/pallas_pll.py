@@ -99,6 +99,7 @@ def pll_pallas(
     norm_bandwidth: float = 0.01,
     chunk: int = 4096,
     interpret: bool | None = None,
+    delay_output: bool = True,
 ) -> tuple[jax.Array, jax.Array, PLLState]:
     """Drop-in replacement for ``ops.pll.pll`` (float32, TPU-compiled).
 
@@ -196,8 +197,11 @@ def pll_pallas(
         nco_i=nco_i_new[..., -1], nco_q=nco_q_new[..., -1],
         theta=unpack_row(4))
 
-    nco_i = jnp.concatenate([state.nco_i[..., None], nco_i_new[..., :-1]],
-                            axis=-1)
-    nco_q = jnp.concatenate([state.nco_q[..., None], nco_q_new[..., :-1]],
-                            axis=-1)
+    if delay_output:
+        nco_i = jnp.concatenate([state.nco_i[..., None], nco_i_new[..., :-1]],
+                                axis=-1)
+        nco_q = jnp.concatenate([state.nco_q[..., None], nco_q_new[..., :-1]],
+                                axis=-1)
+    else:
+        nco_i, nco_q = nco_i_new, nco_q_new
     return nco_i, nco_q, new_state

@@ -69,6 +69,7 @@ def pll(
     norm_bandwidth: float = 0.01,
     unroll: int = 8,
     impl: str = "scan",
+    delay_output: bool = True,
 ) -> tuple[jax.Array, jax.Array, PLLState]:
     """Run the PLL over one block.
 
@@ -76,8 +77,13 @@ def pll(
       x: (..., N) real input (band-passed pilot / squared carrier).
       state: PLLState with fields shaped (...,).
       impl: 'scan' (lax.scan, any backend/dtype), 'pallas' (TPU kernel,
-        ~10x lower loop overhead; interpret-mode elsewhere), or 'auto'
+        much lower loop overhead; interpret-mode elsewhere), or 'auto'
         (pallas for float32 on TPU, else scan).
+      delay_output: True (default) reproduces the golden model's
+        ``ncoOut[0:N]`` mixer view.  Because ``ncoOut`` entries are
+        one-indexed (ncoOut[k+1] holds the NCO at sample k), this view is
+        the *time-aligned* one.  False shifts the NCO one sample early
+        (diagnostic only).
 
     Returns:
       nco_i, nco_q: (..., N) NCO outputs *delayed by one sample* (the
@@ -95,7 +101,8 @@ def pll(
 
         return pll_pallas(
             x, state, freq=freq, fs=fs, nco_scale=nco_scale,
-            phase_adjust=phase_adjust, norm_bandwidth=norm_bandwidth)
+            phase_adjust=phase_adjust, norm_bandwidth=norm_bandwidth,
+            delay_output=delay_output)
     dtype = x.dtype
     cp, ci = 2.666, 3.555
     kp = jnp.asarray(norm_bandwidth * cp, dtype)
@@ -133,9 +140,14 @@ def pll(
     nco_i_new = jnp.moveaxis(nco_i_seq, 0, -1)
     nco_q_new = jnp.moveaxis(nco_q_seq, 0, -1)
 
-    # Delayed-by-one view: prepend previous block's last NCO sample.
-    nco_i = jnp.concatenate([state.nco_i[..., None], nco_i_new[..., :-1]], axis=-1)
-    nco_q = jnp.concatenate([state.nco_q[..., None], nco_q_new[..., :-1]], axis=-1)
+    if delay_output:
+        # Delayed-by-one view: prepend previous block's last NCO sample.
+        nco_i = jnp.concatenate([state.nco_i[..., None], nco_i_new[..., :-1]],
+                                axis=-1)
+        nco_q = jnp.concatenate([state.nco_q[..., None], nco_q_new[..., :-1]],
+                                axis=-1)
+    else:
+        nco_i, nco_q = nco_i_new, nco_q_new
 
     new_state = PLLState(
         integrator=integ, phase_est=phase, fb_i=fb_i, fb_q=fb_q,

@@ -93,7 +93,8 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
         nco, _, pll_state = pll(
             pilot, state.pll, freq=pcfg.freq, fs=if_fs,
             nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
-            norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl)
+            norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl,
+            delay_output=cfg.stereo.nco_delay)
 
         # stereo channel -> mix down to baseband -> LPF + resample
         chan, chan_zi = fir_block(fm, chan_h, state.chan_zi)

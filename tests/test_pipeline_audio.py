@@ -96,10 +96,10 @@ def test_stereo_separation(multiplex_u8):
     s = np.cos(2 * np.pi * 2.3e3 * t)
     amp = np.hypot(2 * np.mean(diff * c), 2 * np.mean(diff * s))
     expected = 2 * np.pi * 75e3 * 0.45 / 240e3
-    # PLL locks with a constant detector-equilibrium phase offset (same as
-    # the golden model), so the DSB-SC demodulation recovers the tone with
-    # attenuation cos(2*phase_offset); require a solid fraction recovered.
-    assert amp > 0.3 * expected, f"stereo tone too weak: {amp} vs {expected}"
+    # The model's ncoOut[0:N] view is time-aligned (entries one-indexed),
+    # so DSB-SC recovery is near-full; residual ~5% loss is filter rolloff
+    # at 2.3 kHz + mixing products.
+    assert amp > 0.85 * expected, f"stereo tone too weak: {amp} vs {expected}"
 
 
 def test_mode1_shapes_and_audio():
