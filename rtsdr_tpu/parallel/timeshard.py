@@ -169,8 +169,8 @@ def make_time_sharded_receiver(
             return nco_i, nco_q, final
 
         # ---- ingest + front end ----
-        x = (raw_u8.astype(dtype) - 128.0) * (1.0 / 128.0)
-        iq = jnp.stack([x[..., 0::2], x[..., 1::2]], axis=-2)  # (C,2,N)
+        pairs = raw_u8.reshape(*raw_u8.shape[:-1], -1, 2)
+        iq = (jnp.swapaxes(pairs, -1, -2).astype(dtype) - 128.0) * (1.0 / 128.0)
         zi_fe = jnp.stack([state.frontend.zi_i, state.frontend.zi_q], axis=-2)
         iq_ds, zi_fe_new = halo_fir(fir_decimate, iq, rf_h, zi_fe, cfg.rf.decim)
         if_i, if_q = iq_ds[..., 0, :], iq_ds[..., 1, :]

@@ -47,9 +47,11 @@ def make_frontend(cfg: ReceiverConfig):
     rf_h = coeffs.lowpass_taps(cfg.rf.fs, cfg.rf.fc, cfg.rf.taps)
     decim = cfg.rf.decim
 
-    def frontend(state: FrontendState, i: jax.Array, q: jax.Array):
+    def frontend(state: FrontendState, i: jax.Array, q: jax.Array = None):
         # One batched convolution filters I and Q together (reference C7).
-        iq = jnp.stack([i, q], axis=-2)                  # (..., 2, N)
+        # ``i`` may already be the stacked (..., 2, N) IQ array (fast path
+        # from the receiver's reshape-deinterleave); else stack here.
+        iq = i if q is None else jnp.stack([i, q], axis=-2)
         zi = jnp.stack([state.zi_i, state.zi_q], axis=-2)
         iq_ds, zi_new = fir_decimate(iq, rf_h, zi, decim)
         i_ds = iq_ds[..., 0, :]

@@ -108,11 +108,12 @@ def make_receiver(
         )
 
     def step_fn(state: ReceiverState, raw_u8: jax.Array):
-        x = (raw_u8.astype(dtype) - 128.0) * (1.0 / 128.0)
-        i = x[..., 0::2]
-        q = x[..., 1::2]
+        # deinterleave via reshape+swap (strided even/odd slicing is slow on
+        # TPU), normalize on device: (x - 128)/128
+        pairs = raw_u8.reshape(*raw_u8.shape[:-1], -1, 2)
+        iq = (jnp.swapaxes(pairs, -1, -2).astype(dtype) - 128.0) * (1.0 / 128.0)
 
-        fm, fe_state = frontend(state.frontend, i, q)
+        fm, fe_state = frontend(state.frontend, iq)
         (left, right, mono), au_state = audio(state.audio, fm)
 
         rds_state = None
