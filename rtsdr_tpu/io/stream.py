@@ -31,6 +31,7 @@ def format_rds_events(frame_out) -> list[str]:
     sync = np.asarray(frame_out.is_sync)
     fp = np.asarray(frame_out.is_false_pos)
     pos = np.asarray(frame_out.positions)
+    resync = np.asarray(frame_out.is_resync)
     for w in range(n_w):
         if sid[w]:
             name = SYNDROME_NAMES[int(sid[w]) - 1]
@@ -39,6 +40,8 @@ def format_rds_events(frame_out) -> list[str]:
             elif fp[w]:
                 lines.append(
                     f"False positive Syndrome {name} at position {int(pos[w])}")
+        if resync[w]:
+            lines.append("~~~~~Re-Sync~~~~~")
     return lines
 
 

@@ -68,6 +68,7 @@ def make_time_sharded_receiver(
     enable_frame: bool = True,
     offset_mode: str = "hold",
     use_abs_clock: bool = False,
+    resync: bool = False,
     pll_impl: str = "auto",
 ):
     """Build ``(init_fn, step_fn)`` sharded over (channel, time).
@@ -118,7 +119,8 @@ def make_time_sharded_receiver(
         frame_fn = None
         if enable_frame:
             frame_fn = jax.vmap(make_frame(cfg, offset_mode=offset_mode,
-                                           use_abs_clock=use_abs_clock))
+                                           use_abs_clock=use_abs_clock,
+                                           resync=resync))
 
     def shard_body(state: ReceiverState, raw_u8: jax.Array):
         t_id = lax.axis_index(TIME_AXIS)

@@ -85,6 +85,7 @@ class FrameState(NamedTuple):
     carry_len: jax.Array     # int32 (0 on the first block, then 27)
     base_pos: jax.Array      # int32 global position of this block's window 0
     last_position: jax.Array  # int32, -1 until first sync
+    bad_count: jax.Array     # int32 consecutive false positives (resync)
 
 
 class FrameOutputs(NamedTuple):
@@ -96,6 +97,7 @@ class FrameOutputs(NamedTuple):
     is_sync: jax.Array       # (W_MAX,) bool: accepted (26-spaced) sync
     is_false_pos: jax.Array  # (W_MAX,) bool: matched but wrongly spaced
     positions: jax.Array     # (W_MAX,) int32 global bit positions
+    is_resync: jax.Array     # (W_MAX,) bool: resync fired after this window
 
 
 def frame_init(cfg: ReceiverConfig, dtype=jnp.float32) -> FrameState:
@@ -110,6 +112,7 @@ def frame_init(cfg: ReceiverConfig, dtype=jnp.float32) -> FrameState:
         carry_len=jnp.zeros((), i32),
         base_pos=jnp.zeros((), i32),
         last_position=jnp.full((), -1, i32),
+        bad_count=jnp.zeros((), i32),
     )
 
 
@@ -124,11 +127,16 @@ def frame_sizes(cfg: ReceiverConfig) -> tuple[int, int, int, int]:
 
 
 def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
-               use_abs_clock: bool = False):
+               use_abs_clock: bool = False, resync: bool = False):
     """Returns ``frame(state, rrc_i, rrc_q) -> (outputs, new_state)``.
 
     Operates per channel (1-D inputs of length cfg.rds_len); ``jax.vmap``
     for multi-channel use.
+
+    ``resync=True`` adds the C++'s recovery mechanism (src/fm_radio.cpp:
+    699-704): after >10 consecutive wrongly-spaced syndrome matches the
+    sync anchor resets, letting the decoder re-acquire after a signal
+    dropout.  Off by default for golden-model parity.
     """
     assert offset_mode in ("hold", "track")
     r_len = cfg.rds_len
@@ -225,17 +233,26 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         positions = state.base_pos + w
         w_valid = w < n_windows
 
-        def scan_fn(last_pos, inp):
+        def scan_fn(carry, inp):
+            last_pos, bad = carry
             sid_w, gp, valid = inp
             is_match = (sid_w > 0) & valid
             ok = (last_pos < 0) | (gp - last_pos == 26)
             real = is_match & ok
             fp = is_match & ~ok
             last_pos = jnp.where(real, gp, last_pos)
-            return last_pos, (real, fp)
+            if resync:
+                bad = jnp.where(real, 0, jnp.where(fp, bad + 1, bad))
+                fire = bad > 10
+                last_pos = jnp.where(fire, -1, last_pos)
+                bad = jnp.where(fire, 0, bad)
+            else:
+                fire = jnp.zeros((), jnp.bool_)
+            return (last_pos, bad), (real, fp, fire)
 
-        last_position, (is_sync, is_fp) = jax.lax.scan(
-            scan_fn, state.last_position, (sid, positions, w_valid))
+        (last_position, bad_count), (is_sync, is_fp, is_resync) = jax.lax.scan(
+            scan_fn, (state.last_position, state.bad_count),
+            (sid, positions, w_valid))
 
         carry_new = jax.lax.dynamic_slice(ext, (n_windows - 1,), (CARRY_BITS,))
         base_new = state.base_pos + n_windows - 1
@@ -243,12 +260,13 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         outputs = FrameOutputs(
             n_sym=n_sym, symbols_i=sym_i, symbols_q=sym_q,
             n_windows=n_windows, syndrome_id=sid, is_sync=is_sync,
-            is_false_pos=is_fp, positions=positions)
+            is_false_pos=is_fp, positions=positions, is_resync=is_resync)
         new_state = FrameState(
             offset=new_offset, start_pos=start_pos, lonely_bit=lonely,
             prebit=prebit_new, first_block=jnp.zeros((), jnp.bool_),
             carry=carry_new, carry_len=jnp.full((), CARRY_BITS, i32),
-            base_pos=base_new, last_position=last_position)
+            base_pos=base_new, last_position=last_position,
+            bad_count=bad_count)
         return outputs, new_state
 
     return frame

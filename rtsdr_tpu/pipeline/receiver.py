@@ -63,6 +63,7 @@ def make_receiver(
     enable_stereo: bool = True,
     offset_mode: str = "hold",
     use_abs_clock: bool = False,
+    resync: bool = False,
     pll_impl: str = "auto",
 ):
     """Build ``(init_fn, step_fn)`` for the full receiver.
@@ -86,7 +87,7 @@ def make_receiver(
     frame_fn = None
     if enable_rds and enable_frame:
         frame_fn = make_frame(cfg, offset_mode=offset_mode,
-                              use_abs_clock=use_abs_clock)
+                              use_abs_clock=use_abs_clock, resync=resync)
         for _ in batch_shape:
             frame_fn = jax.vmap(frame_fn)
 

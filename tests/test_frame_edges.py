@@ -93,6 +93,41 @@ def test_crafted_streams_match_golden(offset, start_pad, offset_mode):
         assert total_syncs >= 3, f"no syncs ({offset=})"
 
 
+def test_resync_reacquires_after_phase_jump():
+    """C++ recovery mechanism (src/fm_radio.cpp:699-704): after a bit-slip
+    the sync anchor is off by a non-multiple of 26 forever; with resync=True
+    >10 consecutive false positives reset the anchor and decoding resumes."""
+    # With rng(7) the decoder anchors on a *spurious* chance syndrome in
+    # block 0 (off the true 26-bit lattice), so every true syndrome after
+    # it reports as a false positive — the exact failure the C++ resync
+    # counters exist for.
+    rng = np.random.default_rng(7)
+    bits = encode_rds_blocks(rng.integers(0, 2, (400, 16)))
+    symbols = _symbols_for_bits(bits)
+    n_blocks = 14
+    blocks = _blocks_from_symbols(symbols, 6, n_blocks)
+
+    def run(resync):
+        frame_fn = jax.jit(make_frame(MODE0, resync=resync))
+        state = frame_init(MODE0, dtype=jnp.float64)
+        per_block = []
+        fired = 0
+        for blk in blocks:
+            j = jnp.asarray(blk)
+            out, state = frame_fn(state, j, j)
+            per_block.append(int(np.sum(np.asarray(out.is_sync))))
+            fired += int(np.sum(np.asarray(out.is_resync)))
+        return per_block, fired
+
+    with_resync, fired = run(True)
+    without, fired_off = run(False)
+    assert fired_off == 0
+    assert fired >= 1, "resync never fired"
+    # once the anchor resets, steady 26-spaced decoding resumes
+    assert sum(with_resync[6:]) >= 2 * max(1, sum(without[6:])), (
+        with_resync, without)
+
+
 def test_track_mode_offset_12_survives():
     """offset=12 is the golden update's fixed point: track mode decodes."""
     rng = np.random.default_rng(99)
