@@ -205,8 +205,10 @@ def fir_resample(x: jax.Array, h, zi: jax.Array, up: int, down: int,
     # For simplicity and exactness we materialize u only once per call; at
     # production block sizes this buffer is small (<2 MB) and XLA fuses the
     # scatter into the conv input.
-    u = jnp.zeros((*batch, up_len), dtype=x.dtype)
-    u = u.at[..., ::up].set(x)
+    # zero-stuff via pad+reshape (contiguous); a strided scatter
+    # (.at[..., ::up].set) costs ~5 ms at production sizes on TPU
+    u = jnp.pad(x[..., None], [(0, 0)] * x.ndim + [(0, up - 1)])
+    u = u.reshape(*batch, up_len)
     uext = jnp.concatenate([zi, u], axis=-1)
     y = _conv1d_valid(uext, h, stride=down)
     new_zi = uext[..., -(taps - 1):]

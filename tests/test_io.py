@@ -71,7 +71,7 @@ def test_cli_end_to_end(tmp_path):
         [sys.executable, "-m", "rtsdr_tpu.cli", "0", "--no-rds"],
         input=iq_u8.tobytes(), capture_output=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=300)
+        timeout=540)
     assert proc.returncode == 0, proc.stderr.decode()[-2000:]
     audio = np.frombuffer(proc.stdout, np.int16)
     assert audio.size == n_blocks * 3072 * 2
