@@ -39,6 +39,8 @@ def main(argv=None) -> int:
         kwargs["enable_stereo"] = False
 
     runner = StreamRunner(cfg, **kwargs)
+    print("compiling receiver (first block is slow; subsequent blocks are "
+          "real-time)...", file=sys.stderr)
     out = sys.stdout.buffer
     wav_chunks = [] if args.wav else None
 

@@ -160,6 +160,84 @@ def fir_decimate(x: jax.Array, h, zi: jax.Array,
     return y, xext[..., -(h.shape[0] - 1):]
 
 
+def _upsampled_tail_of(x: jax.Array, n_tail: int, up: int) -> jax.Array:
+    """Last ``n_tail`` samples of zero-stuff(x, up), without materializing."""
+    k = -(-n_tail // up)
+    xt = x[..., -k:]
+    u = jnp.pad(xt[..., None], [(0, 0)] * xt.ndim + [(0, up - 1)])
+    return u.reshape(*xt.shape[:-1], k * up)[..., -n_tail:]
+
+
+def _resample_polyphase_matmul(x: jax.Array, h: jax.Array, zi: jax.Array,
+                               up: int, down: int) -> tuple[jax.Array, jax.Array]:
+    """Rational resampler without the upsampled-domain buffer.
+
+    Exact reformulation of ``y[m] = sum_k h[k] * uext[m*down + taps-1 - k]``
+    (uext = [zi | zero-stuff(x, up)]) in the x domain:
+
+        y[m] = sum_i h[m*down + taps-1 - i*up] * x[i]   (+ zi boundary terms)
+
+    Output blocks of B (up | B*down/up alignment) contract x windows against
+    a phase-banded matrix H[r, t] = h[r*down + taps-1 - t*up] — the same
+    MXU-matmul shape as ``_conv1d_valid_matmul`` but with only the ~taps/up
+    genuinely contributing taps per output, so nothing upsampled is ever
+    materialized (the u-domain form costs ~600 MB of traffic per RDS block
+    batch at 256 channels).
+    """
+    taps = h.shape[0]
+    t1 = taps - 1
+    n = x.shape[-1]
+    batch = x.shape[:-1]
+    assert (n * up) % down == 0
+    m_total = n * up // down
+
+    # B: multiple of up so every block starts at phase 0, sized ~64-128 rows
+    b = up * max(1, 96 // up)
+    nblk = -(-m_total // b)
+    stride_x = b * down // up
+    # output r in a block reads x[i] for (r*down - t1)/up <= i <= r*down/up;
+    # the window leads the block's x origin by g = ceil(t1/up) samples
+    # (left region j < t1 belongs to zi, handled below; left-pad zeros here)
+    g = -(-t1 // up)
+    span = (b - 1) * down // up + g + 1
+    right_need = (nblk - 1) * stride_x - g + span - n
+    x_pad = jnp.pad(x, [(0, 0)] * (x.ndim - 1)
+                    + [(g, max(0, right_need))])
+
+    windows = jnp.stack(
+        [jax.lax.slice_in_dim(x_pad, s * stride_x, s * stride_x + span,
+                              axis=-1) for s in range(nblk)], axis=-2)
+
+    r = np.arange(b)[:, None]
+    t = np.arange(span)[None, :]
+    k = r * down + g * up - t * up  # h index for x[i = s*stride_x - g + t]
+    valid = (k >= 0) & (k <= t1)
+    h_np = np.asarray(h)
+    h_mat = jnp.asarray(np.where(valid, h_np[np.clip(k, 0, t1)], 0.0),
+                        x.dtype)
+
+    y = jax.lax.dot_general(
+        windows, h_mat,
+        dimension_numbers=(((windows.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=x.dtype if x.dtype == jnp.float64 else jnp.float32,
+    ).reshape(*batch, nblk * b)[..., :m_total]
+
+    # boundary: the first ceil(t1/down) outputs also read the carried zi
+    nb = -(-t1 // down)
+    rz = np.arange(nb)[:, None]
+    j = np.arange(t1)[None, :]
+    kz = rz * down + t1 - j
+    validz = (j >= rz * down) & (kz >= 0) & (kz <= t1)
+    hz = jnp.asarray(np.where(validz, h_np[np.clip(kz, 0, t1)], 0.0), x.dtype)
+    y_zi = jax.lax.dot_general(
+        zi, hz, dimension_numbers=(((zi.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=x.dtype if x.dtype == jnp.float64 else jnp.float32)
+    y = y.at[..., :nb].add(y_zi.astype(x.dtype))
+
+    new_zi = _upsampled_tail_of(x, t1, up)
+    return y, new_zi
+
+
 def fir_resample(x: jax.Array, h, zi: jax.Array, up: int, down: int,
                  gain: float | None = None) -> tuple[jax.Array, jax.Array]:
     """Fused rational resampler: zero-stuff x``up``, FIR, keep every ``down``-th.
@@ -185,6 +263,10 @@ def fir_resample(x: jax.Array, h, zi: jax.Array, up: int, down: int,
 
     if up == 1:
         y, new_zi = fir_decimate(x, h, zi, down)
+        return y * jnp.asarray(gain, x.dtype), new_zi
+
+    if jax.default_backend() == "tpu":
+        y, new_zi = _resample_polyphase_matmul(x, h, zi, up, down)
         return y * jnp.asarray(gain, x.dtype), new_zi
 
     # Dilated conv computes conv(h, dilate(x)) with output offset such that

@@ -21,6 +21,43 @@ def test_matmul_conv_matches_xla(rng, stride, n):
     np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.parametrize("up,down,n,taps", [
+    (19, 80, 15360, 151),    # RDS resampler
+    (24, 125, 16000, 3624),  # mode-1 audio resampler
+    (3, 7, 1400, 45),
+    (5, 2, 200, 31),
+])
+def test_polyphase_matmul_matches_u_domain(rng, up, down, n, taps):
+    """The x-domain polyphase matmul must equal the u-domain reference
+    exactly, including the zi boundary terms and the carried state."""
+    from rtsdr_tpu.ops.fir import (
+        _resample_polyphase_matmul,
+        fir_resample,
+        resample_zi,
+    )
+    import jax
+
+    h = np.sin(np.arange(taps) * 0.37) / taps  # arbitrary full-band taps
+    x1 = rng.standard_normal((2, n))
+    x2 = rng.standard_normal((2, n))
+
+    # reference: u-domain chain over two blocks (fir_resample on CPU)
+    zi = resample_zi(taps, (2,), jnp.float64)
+    ref1, zi_ref = fir_resample(jnp.asarray(x1), h, zi, up, down)
+    ref2, zi_ref2 = fir_resample(jnp.asarray(x2), h, zi_ref, up, down)
+
+    zi = resample_zi(taps, (2,), jnp.float64)
+    o1, zi_o = _resample_polyphase_matmul(jnp.asarray(x1), jnp.asarray(h),
+                                          zi, up, down)
+    o2, zi_o2 = _resample_polyphase_matmul(jnp.asarray(x2), jnp.asarray(h),
+                                           zi_o, up, down)
+    np.testing.assert_allclose(np.asarray(o1) * up, np.asarray(ref1),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(zi_o), np.asarray(zi_ref))
+    np.testing.assert_allclose(np.asarray(o2) * up, np.asarray(ref2),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_matmul_conv_f32(rng):
     h = lowpass_taps(240e3, 16e3, 151).astype(np.float32)
     x = rng.standard_normal((2, 2, 15510)).astype(np.float32)
