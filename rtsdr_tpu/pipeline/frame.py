@@ -203,15 +203,13 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         prebit_new = bits[n_bits - 1]
 
         # ---- frame sync (model/fmRDSblock.py:296-346) ----
-        # ext = [carry (carry_len) | diff (n_diff)], fixed size e_max; the
-        # dynamic diff placement may spill padded bits past the valid length,
-        # which the w < n_windows mask below ignores.
-        ext = jax.lax.dynamic_update_slice(jnp.zeros((e_max,), i32), diff,
-                                           (state.carry_len,))
-        carry_mask = jnp.arange(e_max, dtype=i32) < state.carry_len
-        carry_padded = jnp.concatenate(
-            [state.carry, jnp.zeros((e_max - CARRY_BITS,), i32)])
-        ext = jnp.where(carry_mask, carry_padded, ext)
+        # ext = [carry (carry_len) | diff (n_diff)], fixed size e_max; padded
+        # bits past the valid length are ignored by the w < n_windows mask.
+        # carry_len is only ever 0 (first block) or 27, so both layouts are
+        # static concats and a select — no dynamic scatter.
+        ext_first = jnp.concatenate([diff, jnp.zeros((CARRY_BITS,), i32)])
+        ext_later = jnp.concatenate([state.carry, diff])
+        ext = jnp.where(state.first_block, ext_first, ext_later)
 
         length = state.carry_len + n_diff
         n_windows = length - 26
@@ -219,13 +217,15 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         w = jnp.arange(w_max, dtype=i32)
         win_idx = w[:, None] + jnp.arange(26, dtype=i32)[None, :]
         windows = ext[jnp.clip(win_idx, 0, e_max - 1)]
-        # GF(2) syndrome: one int matmul over every window at once
+        # GF(2) syndrome: one matmul over every window at once.  Computed in
+        # float32 so it rides the MXU (int32 dots do not); sums are <= 26 so
+        # float32 is exact.
         synd = jnp.mod(
             jax.lax.dot_general(
-                windows, h_mat,
+                windows.astype(jnp.float32), h_mat.astype(jnp.float32),
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32),
-            2)
+                preferred_element_type=jnp.float32),
+            2.0).astype(i32)
         match = jnp.all(synd[:, None, :] == synds[None, :, :], axis=-1)
         sid = jnp.where(jnp.any(match, axis=-1),
                         jnp.argmax(match, axis=-1).astype(i32) + 1, 0)
