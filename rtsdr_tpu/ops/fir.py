@@ -212,9 +212,9 @@ def _resample_polyphase_matmul(x: jax.Array, h: jax.Array, zi: jax.Array,
     t = np.arange(span)[None, :]
     k = r * down + g * up - t * up  # h index for x[i = s*stride_x - g + t]
     valid = (k >= 0) & (k <= t1)
-    h_np = np.asarray(h)
-    h_mat = jnp.asarray(np.where(valid, h_np[np.clip(k, 0, t1)], 0.0),
-                        x.dtype)
+    # indices/masks are compile-time numpy; h may be traced
+    h_mat = jnp.where(jnp.asarray(valid),
+                      h[jnp.asarray(np.clip(k, 0, t1))], 0.0).astype(x.dtype)
 
     y = jax.lax.dot_general(
         windows, h_mat,
@@ -228,7 +228,8 @@ def _resample_polyphase_matmul(x: jax.Array, h: jax.Array, zi: jax.Array,
     j = np.arange(t1)[None, :]
     kz = rz * down + t1 - j
     validz = (j >= rz * down) & (kz >= 0) & (kz <= t1)
-    hz = jnp.asarray(np.where(validz, h_np[np.clip(kz, 0, t1)], 0.0), x.dtype)
+    hz = jnp.where(jnp.asarray(validz),
+                   h[jnp.asarray(np.clip(kz, 0, t1))], 0.0).astype(x.dtype)
     y_zi = jax.lax.dot_general(
         zi, hz, dimension_numbers=(((zi.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=x.dtype if x.dtype == jnp.float64 else jnp.float32)
