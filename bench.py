@@ -71,6 +71,16 @@ def _bench_chain(n_channels: int, k1: int = 4, k2: int = 24,
 
 
 def main():
+    # first compile over the tunnel-attached chip is slow; persistent cache
+    # makes repeated benchmark runs cheap
+    import os
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     mono = _bench_chain(128, enable_rds=False, enable_stereo=False)
     full = _bench_chain(256)  # mono+stereo+RDS+frame (Pallas PLL kernels)
 
