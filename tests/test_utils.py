@@ -29,6 +29,29 @@ def test_log_vector_roundtrip(tmp_path):
     assert data.shape == (256, 2)
 
 
+def test_stage_timings_smoke():
+    """Per-stage profiler runs and returns coherent records (CPU)."""
+    from rtsdr_tpu.utils.profiling import stage_timings
+
+    recs = stage_timings(MODE0, n_channels=2, pll_impl="scan")
+    names = [r["stage"] for r in recs]
+    assert "rf_frontend_fir_decim" in names and "pll_x2" in names
+    for r in recs:
+        assert r["channels"] == 2
+        assert np.isfinite(r["sec_per_block_batch"])
+
+
+def test_trace_helper(tmp_path):
+    import jax.numpy as _jnp
+
+    from rtsdr_tpu.utils.trace import annotate, trace
+
+    with trace(str(tmp_path / "t")):
+        with annotate("probe"):
+            _ = _jnp.sum(_jnp.ones(16)).block_until_ready()
+    assert any((tmp_path / "t").rglob("*"))
+
+
 def test_checkpoint_resume_bit_exact(tmp_path):
     """Stopping, checkpointing, and resuming must be invisible in outputs."""
     iq = fm_multiplex_iq(3 * MODE0.block_size // 2)
