@@ -82,7 +82,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     mono = _bench_chain(128, enable_rds=False, enable_stereo=False)
-    full = _bench_chain(256)  # mono+stereo+RDS+frame (Pallas PLL kernels)
+    full = _bench_chain(512)  # mono+stereo+RDS+frame (Pallas PLL kernels)
 
     result = {
         "metric": "mono_chain_realtime_multiple_per_chip",

@@ -26,6 +26,10 @@ def main(argv=None) -> int:
                    help="mono-only chain")
     p.add_argument("--wav", type=str, default=None,
                    help="also write decoded audio to a wav file")
+    p.add_argument("--stations", nargs="+", metavar="FILE", default=None,
+                   help="batch mode: decode N capture files as one batched "
+                        "receiver step; writes FILE.wav per station, RDS "
+                        "events tagged [station] on stderr")
     args = p.parse_args(argv)
 
     from rtsdr_tpu.config import MODES
@@ -37,6 +41,9 @@ def main(argv=None) -> int:
         kwargs["enable_rds"] = False
     if args.no_stereo:
         kwargs["enable_stereo"] = False
+
+    if args.stations:
+        return _batch_decode(cfg, args.stations, args.blocks, kwargs)
 
     runner = StreamRunner(cfg, **kwargs)
     print("compiling receiver (first block is slow; subsequent blocks are "
@@ -68,6 +75,55 @@ def main(argv=None) -> int:
             w.writeframes(b"".join(wav_chunks))
     print(f"processed {stats['blocks']} blocks, "
           f"{stats['rds_events']} RDS events", file=sys.stderr)
+    return 0
+
+
+def _batch_decode(cfg, files, max_blocks, kwargs) -> int:
+    """Decode N stations as one channel-batched receiver (the multi-station
+    deployment shape, driven from capture files)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtsdr_tpu.io.stream import format_rds_events
+    from rtsdr_tpu.io.wav import write_wav
+    from rtsdr_tpu.pipeline.receiver import Receiver
+
+    n = len(files)
+    rx = Receiver(cfg, (n,), **kwargs)
+    state = rx.init()
+    handles = [open(f, "rb") for f in files]
+    left = [[] for _ in range(n)]
+    right = [[] for _ in range(n)]
+    blocks = 0
+    events = 0
+    try:
+        while max_blocks is None or blocks < max_blocks:
+            raws = [h.read(cfg.block_size) for h in handles]
+            if any(len(r) < cfg.block_size for r in raws):
+                break
+            batch = jnp.asarray(
+                np.stack([np.frombuffer(r, np.uint8) for r in raws]))
+            state, out = rx.step(state, batch)
+            for c in range(n):
+                left[c].append(np.asarray(out.left[c]))
+                right[c].append(np.asarray(out.right[c]))
+                if out.rds is not None:
+                    fo = jax.tree.map(lambda x, c=c: x[c], out.rds)
+                    for line in format_rds_events(fo):
+                        print(f"[{files[c]}] {line}", file=sys.stderr)
+                        events += 1
+            blocks += 1
+    finally:
+        for h in handles:
+            h.close()
+
+    for c, f in enumerate(files):
+        if left[c]:
+            write_wav(f + ".wav", np.concatenate(left[c]),
+                      np.concatenate(right[c]), fs=int(cfg.audio_fs))
+    print(f"processed {blocks} blocks x {n} stations, {events} RDS events",
+          file=sys.stderr)
     return 0
 
 

@@ -60,6 +60,31 @@ def test_block_reader_prefetch(tmp_path):
     np.testing.assert_array_equal(np.concatenate(got), ref[: 4 * 7000])
 
 
+def test_cli_batch_stations(tmp_path):
+    """--stations: N capture files decoded as one channel-batched receiver,
+    one wav per station."""
+    iq = synth_multiplex_iq(307200 // 2)
+    f1 = tmp_path / "s1.iq"
+    f2 = tmp_path / "s2.iq"
+    f1.write_bytes(iq.tobytes())
+    f2.write_bytes(iq.tobytes())
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-m", "rtsdr_tpu.cli", "0", "--no-rds",
+         "--stations", str(f1), str(f2)],
+        capture_output=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=540)
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    assert b"processed 1 blocks x 2 stations" in proc.stderr
+    import wave
+    for f in (f1, f2):
+        with wave.open(str(f) + ".wav") as w:
+            assert w.getnchannels() == 2
+            assert w.getnframes() == 3072
+
+
 def test_cli_end_to_end(tmp_path):
     """Run the CLI as a subprocess on a synthetic station: stdin uint8 ->
     stdout int16 stereo; audio must contain the 1.1 kHz tone."""
