@@ -32,6 +32,17 @@ def main(argv=None) -> int:
                         "events tagged [station] on stderr")
     args = p.parse_args(argv)
 
+    # honor JAX_PLATFORMS even where site hooks pre-select a backend
+    # programmatically (env alone can be overridden by jax.config updates
+    # made during interpreter startup)
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat.split(",")[0])
+
     from rtsdr_tpu.config import MODES
     from rtsdr_tpu.io.stream import StreamRunner
 

@@ -67,7 +67,7 @@ def pll(
     nco_scale: float = 1.0,
     phase_adjust: float = 0.0,
     norm_bandwidth: float = 0.01,
-    unroll: int = 8,
+    unroll: int = 2,
     impl: str = "scan",
     delay_output: bool = True,
 ) -> tuple[jax.Array, jax.Array, PLLState]:

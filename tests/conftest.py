@@ -17,9 +17,16 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Persistent compile cache: the heavy receiver jits compile once per
+# machine instead of once per pytest run.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rtsdr_jax_cache")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Golden-model parity tests compare against float64 scipy oracles; enable
 # x64 so tests can opt into exact-parity dtypes.  Production path is float32.
 jax.config.update("jax_enable_x64", True)

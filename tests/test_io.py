@@ -70,6 +70,7 @@ def test_cli_batch_stations(tmp_path):
     f2.write_bytes(iq.tobytes())
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rtsdr_jax_cache")
     proc = subprocess.run(
         [sys.executable, "-m", "rtsdr_tpu.cli", "0", "--no-rds",
          "--stations", str(f1), str(f2)],
@@ -92,6 +93,7 @@ def test_cli_end_to_end(tmp_path):
     iq_u8 = synth_multiplex_iq(n_blocks * 307200 // 2)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rtsdr_jax_cache")
     proc = subprocess.run(
         [sys.executable, "-m", "rtsdr_tpu.cli", "0", "--no-rds"],
         input=iq_u8.tobytes(), capture_output=True, env=env,
