@@ -24,6 +24,10 @@ def main(argv=None) -> int:
     p.add_argument("--no-rds", action="store_true")
     p.add_argument("--no-stereo", action="store_true",
                    help="mono-only chain")
+    p.add_argument("--deemphasis", type=float, nargs="?", const=75.0,
+                   default=None, metavar="US",
+                   help="apply FM de-emphasis (default 75 us; use 50 in "
+                        "Europe)")
     p.add_argument("--wav", type=str, default=None,
                    help="also write decoded audio to a wav file")
     p.add_argument("--stations", nargs="+", metavar="FILE", default=None,
@@ -52,6 +56,8 @@ def main(argv=None) -> int:
         kwargs["enable_rds"] = False
     if args.no_stereo:
         kwargs["enable_stereo"] = False
+    if args.deemphasis is not None:
+        kwargs["deemphasis"] = args.deemphasis * 1e-6
 
     if args.stations:
         return _batch_decode(cfg, args.stations, args.blocks, kwargs)

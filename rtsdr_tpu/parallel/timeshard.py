@@ -210,7 +210,7 @@ def make_time_sharded_receiver(
         right = 0.5 * (mono - stereo)
         au_state = AudioState(mono_zi=mono_zi, pilot_zi=pilot_zi,
                               chan_zi=chan_zi, stereo_zi=stereo_zi,
-                              pll=pll_st)
+                              pll=pll_st, deemph=None)
 
         rds_state = None
         frame_state = None

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from rtsdr_tpu.config import ReceiverConfig
 from rtsdr_tpu.ops import coeffs
 from rtsdr_tpu.ops.fir import fir_block, fir_resample, fir_zi, resample_zi
+from rtsdr_tpu.ops.iir import deemphasize
 from rtsdr_tpu.ops.pll import PLLState, pll, pll_init
 
 
@@ -33,6 +34,7 @@ class AudioState(NamedTuple):
     chan_zi: jax.Array | None    # (..., stereo_taps-1)
     stereo_zi: jax.Array | None  # (..., mono_taps*up - 1) post-mix resampler
     pll: PLLState | None
+    deemph: jax.Array | None     # (..., 2) L/R de-emphasis IIR carry
 
 
 def _audio_taps(cfg: ReceiverConfig) -> int:
@@ -43,28 +45,35 @@ def _audio_taps(cfg: ReceiverConfig) -> int:
 
 
 def audio_init(cfg: ReceiverConfig, batch_shape: tuple = (),
-               dtype=jnp.float32, enable_stereo: bool = True) -> AudioState:
+               dtype=jnp.float32, enable_stereo: bool = True,
+               deemphasis: float | None = None) -> AudioState:
     taps = _audio_taps(cfg)
+    de = (jnp.zeros((*batch_shape, 2), dtype)
+          if deemphasis is not None else None)
     if not enable_stereo:
         return AudioState(mono_zi=resample_zi(taps, batch_shape, dtype),
                           pilot_zi=None, chan_zi=None, stereo_zi=None,
-                          pll=None)
+                          pll=None, deemph=de)
     return AudioState(
         mono_zi=resample_zi(taps, batch_shape, dtype),
         pilot_zi=fir_zi(cfg.stereo.taps, batch_shape, dtype),
         chan_zi=fir_zi(cfg.stereo.taps, batch_shape, dtype),
         stereo_zi=resample_zi(taps, batch_shape, dtype),
         pll=pll_init(batch_shape, dtype),
+        deemph=de,
     )
 
 
 def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
-               pll_impl: str = "auto"):
+               pll_impl: str = "auto", deemphasis: float | None = None):
     """Returns ``audio(state, fm_demod) -> ((left, right, mono), new_state)``.
 
     fm_demod: (..., if_len); outputs at 48 kS/s: (..., audio_len).
     With ``enable_stereo=False`` only the mono chain runs and left = right
     = mono (the reference's mono-only lab configuration).
+    ``deemphasis``: optional FM de-emphasis time constant in seconds
+    (75e-6 Americas / 50e-6 Europe) applied to L/R — a capability the
+    reference lacks (ops/iir.py).
     """
     if_fs = cfg.rf.if_fs
     up, down = cfg.mono.up, cfg.mono.down
@@ -84,9 +93,11 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
         mono, mono_zi = fir_resample(fm, mono_h, state.mono_zi, up, down)
 
         if not enable_stereo:
+            out, de = _deemph(mono, mono, state.deemph)
             new_state = AudioState(mono_zi=mono_zi, pilot_zi=None,
-                                   chan_zi=None, stereo_zi=None, pll=None)
-            return (mono, mono, mono), new_state
+                                   chan_zi=None, stereo_zi=None, pll=None,
+                                   deemph=de)
+            return (*out, mono), new_state
 
         # stereo pilot -> 38 kHz NCO
         pilot, pilot_zi = fir_block(fm, pilot_h, state.pilot_zi)
@@ -103,10 +114,18 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
 
         left = 0.5 * (mono + stereo)
         right = 0.5 * (mono - stereo)
+        (left, right), de = _deemph(left, right, state.deemph)
 
         new_state = AudioState(mono_zi=mono_zi, pilot_zi=pilot_zi,
                                chan_zi=chan_zi, stereo_zi=stereo_zi,
-                               pll=pll_state)
+                               pll=pll_state, deemph=de)
         return (left, right, mono), new_state
+
+    def _deemph(left, right, carry):
+        if deemphasis is None:
+            return (left, right), None
+        lr = jnp.stack([left, right], axis=-2)          # (..., 2, N)
+        lr, carry = deemphasize(lr, carry, fs=cfg.audio_fs, tau=deemphasis)
+        return (lr[..., 0, :], lr[..., 1, :]), carry
 
     return audio

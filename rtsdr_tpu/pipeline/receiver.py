@@ -65,6 +65,7 @@ def make_receiver(
     use_abs_clock: bool = False,
     resync: bool = False,
     pll_impl: str = "auto",
+    deemphasis: float | None = None,
 ):
     """Build ``(init_fn, step_fn)`` for the full receiver.
 
@@ -82,7 +83,7 @@ def make_receiver(
 
     frontend = make_frontend(cfg)
     audio = make_audio(cfg, enable_stereo=enable_stereo,
-                       pll_impl=pll_impl)
+                       pll_impl=pll_impl, deemphasis=deemphasis)
     rds_fn = make_rds(cfg, pll_impl=pll_impl) if enable_rds else None
     frame_fn = None
     if enable_rds and enable_frame:
@@ -103,7 +104,8 @@ def make_receiver(
         return ReceiverState(
             frontend=frontend_init(cfg, batch_shape, dtype),
             audio=audio_init(cfg, batch_shape, dtype,
-                             enable_stereo=enable_stereo),
+                             enable_stereo=enable_stereo,
+                             deemphasis=deemphasis),
             rds=rds_state,
             frame=frame_state,
         )

@@ -1,0 +1,77 @@
+"""Receiver robustness: noisy air, long streams, sync stability.
+
+The reference reports RDS frame sync holding for at most 4 consecutive
+blocks before dropping (report §3.4, SURVEY.md §6); these tests demonstrate
+indefinite hold on clean signal and graceful behavior under noise.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rtsdr_tpu.config import MODE0
+from rtsdr_tpu.pipeline.receiver import make_receiver
+
+from oracles import encode_rds_blocks, rds_baseband, synth_multiplex_iq
+
+
+def _noisy_station(n_blocks, noise_rms, seed=0x401):
+    rng = np.random.default_rng(seed)
+    bits = encode_rds_blocks(rng.integers(0, 2, (40 * n_blocks, 16)))
+    wave = rds_baseband(bits)
+    n = n_blocks * MODE0.block_size // 2
+    iq = synth_multiplex_iq(n, rds_wave=wave, quantize=False)
+    iq = iq + noise_rms * rng.standard_normal(len(iq))
+    return np.clip(np.round(iq * 100.0 + 128.0), 0, 255).astype(np.uint8)
+
+
+def _run(iq_u8, n_blocks, **kw):
+    init_fn, step_fn = make_receiver(MODE0, dtype=jnp.float32,
+                                     use_abs_clock=True, **kw)
+    state = init_fn()
+    step = jax.jit(step_fn)
+    bs = MODE0.block_size
+    syncs_per_block = []
+    audio = []
+    for b in range(n_blocks):
+        state, out = step(state, jnp.asarray(iq_u8[b * bs:(b + 1) * bs]))
+        syncs_per_block.append(int(np.sum(np.asarray(out.rds.is_sync))))
+        audio.append(np.asarray(out.left))
+    return syncs_per_block, np.concatenate(audio)
+
+
+def test_long_stream_sync_holds():
+    """12 blocks (~0.77 s air): after lock, every block must keep producing
+    26-spaced syncs — the reference managed at most 4 consecutive blocks."""
+    n_blocks = 12
+    iq = _noisy_station(n_blocks, noise_rms=0.0)
+    syncs, audio = _run(iq, n_blocks)
+    # allow the first two blocks for carrier/clock lock
+    assert all(s >= 2 for s in syncs[2:]), syncs
+    assert not np.any(np.isnan(audio))
+
+
+def test_noisy_station_still_decodes():
+    """IQ AWGN at ~14 dB carrier SNR: audio stays clean, RDS keeps syncing
+    (error-free enough for the parity check to pass most blocks)."""
+    n_blocks = 8
+    iq = _noisy_station(n_blocks, noise_rms=0.2)
+    syncs, audio = _run(iq, n_blocks)
+    assert sum(syncs[2:]) >= (n_blocks - 2), syncs  # ~>=1 sync/block avg
+    assert not np.any(np.isnan(audio))
+    # mono tone still dominant
+    x = audio[2 * MODE0.audio_len:]
+    t = np.arange(len(x)) / 48e3
+    amp = np.hypot(2 * np.mean(x * np.sin(2 * np.pi * 1.1e3 * t)),
+                   2 * np.mean(x * np.cos(2 * np.pi * 1.1e3 * t)))
+    assert amp > 0.3  # expected ~0.44 clean (L=(mono+stereo)/2)
+
+
+def test_heavy_noise_no_crash():
+    """Garbage-dominated input: no NaNs, no exceptions, bounded audio."""
+    n_blocks = 3
+    iq = _noisy_station(n_blocks, noise_rms=1.5)
+    syncs, audio = _run(iq, n_blocks, resync=True)
+    assert not np.any(np.isnan(audio))
+    assert np.all(np.abs(audio) < 1e3)
