@@ -1,10 +1,17 @@
-"""RF front end: IQ LPF + decimate to IF, then FM discrimination.
+"""RF front end: uint8 ingest, IQ LPF + decimate to IF, FM discrimination.
 
 Replaces the reference rf_thread (src/fm_radio.cpp:31-147): deinterleave,
-151-tap LPF at Fc=100 kHz fused with the /10 decimator on both I and Q
-(the reference's "fused I+Q" kernel C7 is here simply a batched leading dim
-feeding one convolution), then the discriminator.  Coefficients are computed
-once at build time, not per block (reference quirk at src/fm_radio.cpp:75).
+151-tap LPF at Fc=100 kHz fused with the /10 decimator on both I and Q,
+then the discriminator.  Coefficients are computed once at build time, not
+per block (reference quirk at src/fm_radio.cpp:75).
+
+Two implementations:
+  * 'split'  — normalize/deinterleave then a batched I+Q decimating FIR
+               (the reference's C7 "fused I+Q" kernel is here simply a
+               batched leading dim); dtype-general, used on CPU/float64.
+  * 'fused'  — ``ops.ingestfir``: the banded-matmul FIR consumes the raw
+               interleaved uint8 directly (no float copies of the 2.4 MS/s
+               stream); float32, default on TPU.
 """
 
 from __future__ import annotations
@@ -18,6 +25,7 @@ from rtsdr_tpu.config import ReceiverConfig
 from rtsdr_tpu.ops import coeffs
 from rtsdr_tpu.ops.demod import demod_init, fm_discriminator
 from rtsdr_tpu.ops.fir import fir_decimate, fir_zi
+from rtsdr_tpu.ops.ingestfir import ingest_fir_decimate
 
 
 class FrontendState(NamedTuple):
@@ -38,27 +46,35 @@ def frontend_init(cfg: ReceiverConfig, batch_shape: tuple = (),
     )
 
 
-def make_frontend(cfg: ReceiverConfig):
-    """Returns ``frontend(state, i, q) -> (fm_demod, new_state)``.
+def make_frontend(cfg: ReceiverConfig, dtype=jnp.float32, impl: str = "auto"):
+    """Returns ``frontend(state, raw_u8) -> (fm_demod, new_state)``.
 
-    i, q: (..., iq_len) deinterleaved, normalized IQ samples.
-    fm_demod: (..., if_len) at the IF rate.
+    raw_u8: (..., block_size) interleaved uint8; fm_demod: (..., if_len).
     """
     rf_h = coeffs.lowpass_taps(cfg.rf.fs, cfg.rf.fc, cfg.rf.taps)
     decim = cfg.rf.decim
+    if impl == "auto":
+        impl = ("fused" if jax.default_backend() == "tpu"
+                and dtype == jnp.float32 else "split")
+    assert impl in ("fused", "split")
 
-    def frontend(state: FrontendState, i: jax.Array, q: jax.Array = None):
-        # One batched convolution filters I and Q together (reference C7).
-        # ``i`` may already be the stacked (..., 2, N) IQ array (fast path
-        # from the receiver's reshape-deinterleave); else stack here.
-        iq = i if q is None else jnp.stack([i, q], axis=-2)
-        zi = jnp.stack([state.zi_i, state.zi_q], axis=-2)
-        iq_ds, zi_new = fir_decimate(iq, rf_h, zi, decim)
-        i_ds = iq_ds[..., 0, :]
-        q_ds = iq_ds[..., 1, :]
-        fm, (pi, pq) = fm_discriminator(i_ds, q_ds, (state.prev_i, state.prev_q))
-        new_state = FrontendState(
-            zi_i=zi_new[..., 0, :], zi_q=zi_new[..., 1, :], prev_i=pi, prev_q=pq)
+    def frontend(state: FrontendState, raw_u8: jax.Array):
+        if impl == "fused":
+            i_ds, q_ds, zi_i, zi_q = ingest_fir_decimate(
+                raw_u8, rf_h, state.zi_i, state.zi_q, decim)
+        else:
+            pairs = raw_u8.reshape(*raw_u8.shape[:-1], -1, 2)
+            iq = (jnp.swapaxes(pairs, -1, -2).astype(dtype)
+                  - 128.0) * (1.0 / 128.0)
+            zi = jnp.stack([state.zi_i, state.zi_q], axis=-2)
+            iq_ds, zi_new = fir_decimate(iq, rf_h, zi, decim)
+            i_ds = iq_ds[..., 0, :]
+            q_ds = iq_ds[..., 1, :]
+            zi_i = zi_new[..., 0, :]
+            zi_q = zi_new[..., 1, :]
+        fm, (pi, pq) = fm_discriminator(i_ds, q_ds,
+                                        (state.prev_i, state.prev_q))
+        new_state = FrontendState(zi_i=zi_i, zi_q=zi_q, prev_i=pi, prev_q=pq)
         return fm, new_state
 
     return frontend

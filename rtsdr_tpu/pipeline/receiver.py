@@ -81,7 +81,7 @@ def make_receiver(
     if enable_rds and cfg.rds is None:
         raise ValueError(f"mode {cfg.mode} has no RDS path")
 
-    frontend = make_frontend(cfg)
+    frontend = make_frontend(cfg, dtype)
     audio = make_audio(cfg, enable_stereo=enable_stereo,
                        pll_impl=pll_impl, deemphasis=deemphasis)
     rds_fn = make_rds(cfg, pll_impl=pll_impl) if enable_rds else None
@@ -111,12 +111,9 @@ def make_receiver(
         )
 
     def step_fn(state: ReceiverState, raw_u8: jax.Array):
-        # deinterleave via reshape+swap (strided even/odd slicing is slow on
-        # TPU), normalize on device: (x - 128)/128
-        pairs = raw_u8.reshape(*raw_u8.shape[:-1], -1, 2)
-        iq = (jnp.swapaxes(pairs, -1, -2).astype(dtype) - 128.0) * (1.0 / 128.0)
-
-        fm, fe_state = frontend(state.frontend, iq)
+        # ingest (u8 normalize/deinterleave) happens inside the frontend —
+        # on TPU fused directly into the FIR windows (ops/ingestfir.py)
+        fm, fe_state = frontend(state.frontend, raw_u8)
         (left, right, mono), au_state = audio(state.audio, fm)
 
         rds_state = None
