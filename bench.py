@@ -81,7 +81,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    mono = _bench_chain(128, enable_rds=False, enable_stereo=False)
+    mono = _bench_chain(256, enable_rds=False, enable_stereo=False)
     full = _bench_chain(512)  # mono+stereo+RDS+frame (Pallas PLL kernels)
 
     result = {
