@@ -98,6 +98,8 @@ def main(argv=None) -> int:
 def _batch_decode(cfg, files, max_blocks, kwargs) -> int:
     """Decode N stations as one channel-batched receiver (the multi-station
     deployment shape, driven from capture files)."""
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -105,6 +107,12 @@ def _batch_decode(cfg, files, max_blocks, kwargs) -> int:
     from rtsdr_tpu.io.stream import format_rds_events
     from rtsdr_tpu.io.wav import write_wav
     from rtsdr_tpu.pipeline.receiver import Receiver
+
+    missing = [f for f in files if not os.path.isfile(f)]
+    if missing:
+        print(f"error: capture file(s) not found: {', '.join(missing)}",
+              file=sys.stderr)
+        return 1
 
     n = len(files)
     rx = Receiver(cfg, (n,), **kwargs)
