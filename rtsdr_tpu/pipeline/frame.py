@@ -154,11 +154,25 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         offset0 = jnp.argmax(peak).astype(i32)
         offset = jnp.where(state.first_block, offset0, state.offset)
 
-        sym_idx = offset + sps * jnp.arange(s_max, dtype=i32)
-        sym_valid = sym_idx < r_len
-        sym_i = jnp.where(sym_valid, rrc_i[jnp.clip(sym_idx, 0, r_len - 1)], 0.0)
-        sym_q = jnp.where(sym_valid, rrc_q[jnp.clip(sym_idx, 0, r_len - 1)], 0.0)
+        # symbols = rrc[offset::24].  r_len = s_max*sps exactly, so the
+        # reshape (s_max, sps) holds every phase; selecting the offset
+        # column via a one-hot sum is gather-free (vmapped per-channel
+        # gathers are slow on TPU) and exact.  Track mode can produce
+        # offset == sps (== phase 0 one symbol later): fold the dropped
+        # first symbol in with a validity mask.
+        phases_i = rrc_i.reshape(s_max, sps)
+        phases_q = rrc_q.reshape(s_max, sps)
+        onehot = (jnp.arange(sps, dtype=i32) == offset % sps).astype(rrc_i.dtype)
+        sym_i = jnp.sum(phases_i * onehot, axis=-1)
+        sym_q = jnp.sum(phases_q * onehot, axis=-1)
         n_sym = ((r_len - offset + sps - 1) // sps).astype(i32)
+        # offset==sps: symbols start one sample-row later; shift left by one
+        shift_sym = (offset >= sps).astype(i32)
+        sym_i = jnp.where(shift_sym == 1, jnp.roll(sym_i, -1), sym_i)
+        sym_q = jnp.where(shift_sym == 1, jnp.roll(sym_q, -1), sym_q)
+        sym_pos_valid = jnp.arange(s_max, dtype=i32) < n_sym
+        sym_i = jnp.where(sym_pos_valid, sym_i, 0.0)
+        sym_q = jnp.where(sym_pos_valid, sym_q, 0.0)
 
         if offset_mode == "track":
             new_offset = (sps + r_len - offset - sps * n_sym).astype(i32)
@@ -215,8 +229,10 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         n_windows = length - 26
 
         w = jnp.arange(w_max, dtype=i32)
-        win_idx = w[:, None] + jnp.arange(26, dtype=i32)[None, :]
-        windows = ext[jnp.clip(win_idx, 0, e_max - 1)]
+        # windows[w, j] = ext[w + j]: 26 static shifted slices, no gather
+        windows = jnp.stack(
+            [jax.lax.slice_in_dim(ext, j, j + w_max, axis=0)
+             for j in range(26)], axis=1)
         # GF(2) syndrome: one matmul over every window at once.  Computed in
         # float32 so it rides the MXU (int32 dots do not); sums are <= 26 so
         # float32 is exact.
@@ -252,7 +268,7 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
 
         (last_position, bad_count), (is_sync, is_fp, is_resync) = jax.lax.scan(
             scan_fn, (state.last_position, state.bad_count),
-            (sid, positions, w_valid))
+            (sid, positions, w_valid), unroll=8)
 
         carry_new = jax.lax.dynamic_slice(ext, (n_windows - 1,), (CARRY_BITS,))
         base_new = state.base_pos + n_windows - 1
