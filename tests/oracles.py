@@ -336,16 +336,38 @@ def rds_baseband(bits, sps=24, span=8):
 def synth_multiplex_iq(n_samples, rf_fs=2.4e6, mono_hz=1.1e3, stereo_hz=2.3e3,
                        pilot_amp=0.1, mono_amp=0.45, stereo_amp=0.45,
                        rds_wave=None, rds_amp=0.25, deviation=75e3,
-                       pilot_phase=0.0, quantize=True, rng=None):
+                       pilot_phase=0.0, quantize=True, rng=None,
+                       pilot_hz=19e3, pilot_drift_hz_per_s=0.0,
+                       phase_noise_std=0.0, carrier_offset_hz=0.0, ppm=0.0):
     """Synthesize interleaved uint8 IQ of an FM-multiplex station.
 
     multiplex = mono_tone + pilot(19k) + (L-R tone) x cos(2*38k pilot phase)
                 + optional RDS wave DSB on 57 kHz (3rd pilot harmonic).
     ``rds_wave``: baseband at 57 kS/s (from ``rds_baseband``), resampled
     here to rf-rate grid.
+
+    Impairment options (the regimes a real RTL-SDR capture exhibits —
+    reference model/fmPll.py:22-37 is built to track exactly these):
+      * ``pilot_hz``: detuned pilot; the 38 kHz stereo subcarrier and the
+        57 kHz RDS carrier stay coherent at 2x/3x, as in a real exciter.
+      * ``pilot_drift_hz_per_s``: linear pilot frequency drift.
+      * ``phase_noise_std``: per-sample random-walk phase noise (radians)
+        on the pilot (and therefore on its harmonics).
+      * ``carrier_offset_hz``: RF carrier (tuner) detune -> a constant DC
+        term after the FM discriminator.
+      * ``ppm``: receiver sample-clock error in parts-per-million; scales
+        the *entire* station (all subcarriers and the RDS symbol clock),
+        which is what an XO error actually does.
     """
-    t = np.arange(n_samples) / rf_fs
-    pilot_arg = 2 * np.pi * 19e3 * t + pilot_phase
+    clock = 1.0 + ppm * 1e-6
+    t = np.arange(n_samples) / rf_fs * clock
+    pilot_arg = (2 * np.pi * (pilot_hz * t
+                              + 0.5 * pilot_drift_hz_per_s * t * t)
+                 + pilot_phase)
+    if phase_noise_std:
+        assert rng is not None, "phase_noise_std requires rng"
+        pilot_arg = pilot_arg + np.cumsum(
+            phase_noise_std * rng.standard_normal(n_samples))
     m = (mono_amp * np.sin(2 * np.pi * mono_hz * t)
          + pilot_amp * np.cos(pilot_arg)
          + stereo_amp * np.sin(2 * np.pi * stereo_hz * t) * np.cos(2 * pilot_arg))
@@ -356,6 +378,8 @@ def synth_multiplex_iq(n_samples, rf_fs=2.4e6, mono_hz=1.1e3, stereo_hz=2.3e3,
         rds_rf = np.interp(t, t57, rds_wave, left=0.0, right=0.0)
         m = m + rds_amp * rds_rf * np.cos(3 * pilot_arg)
     phase = 2 * np.pi * deviation * np.cumsum(m) / rf_fs
+    if carrier_offset_hz:
+        phase = phase + 2 * np.pi * carrier_offset_hz * np.arange(n_samples) / rf_fs
     i = np.cos(phase)
     q = np.sin(phase)
     iq = np.empty(2 * n_samples)

@@ -128,6 +128,83 @@ def test_pll_locks_float32():
     assert rms < 0.08, f"PLL failed to lock, rms={rms}"
 
 
+@pytest.mark.parametrize(
+    "freq,bw,scale,df",
+    [
+        # stereo pilot loop (B=0.01): a real RTL-SDR's clock error is ~1 Hz
+        # at 19 kHz per 50 ppm; test far beyond that
+        (19e3, 0.01, 2.0, 50.0),
+        (19e3, 0.01, 2.0, 100.0),
+        (19e3, 0.01, 2.0, 1000.0),
+        # RDS carrier loop (B=0.001): squaring doubles the 57 kHz detune,
+        # so +-50 ppm appears as ~+-6 Hz at 114 kHz
+        (114e3, 0.001, 0.5, 10.0),
+        (114e3, 0.001, 0.5, 100.0),
+    ],
+)
+def test_pll_pulls_in_and_holds_detuned(freq, bw, scale, df):
+    """The loop must acquire a carrier offset from its center frequency and
+    hold it — the PLL's entire job on a real capture (model/fmPll.py:22-37).
+    Measured pull-in range (float32, 0.4 s): pilot loop ~+-6 kHz, RDS loop
+    ~+-1.2 kHz; tested comfortably inside that."""
+    fs, n = 240e3, 48000
+    t = np.arange(n) / fs
+    x = np.cos(2 * np.pi * (freq + df) * t + 0.4).astype(np.float32)
+    nco_i, _, _ = pll(jnp.asarray(x), pll_init(dtype=jnp.float32), freq=freq,
+                      fs=fs, nco_scale=scale, norm_bandwidth=bw)
+    # once locked the NCO is a clean carrier at scale*(freq+df), NOT at
+    # scale*freq — frequency tracking, not just phase
+    amp, rms = _lock_quality(np.asarray(nco_i), scale * (freq + df), fs, n)
+    assert abs(amp - 1.0) < 0.03, f"df={df}: not tracking, amp={amp}"
+    assert rms < 0.1, f"df={df}: failed to lock, rms={rms}"
+
+
+def test_pll_beyond_pull_in_range_documented():
+    """Past the measured pull-in boundary the loop must NOT lock — locates
+    the documented capability edge (pilot loop: guaranteed lock to +-6 kHz,
+    phase-dependent acquisition to ~8 kHz, no lock at >=12 kHz)."""
+    fs, n = 240e3, 96000
+    t = np.arange(n) / fs
+    x = np.cos(2 * np.pi * (19e3 + 12000.0) * t).astype(np.float32)
+    nco_i, _, _ = pll(jnp.asarray(x), pll_init(dtype=jnp.float32), freq=19e3,
+                      fs=fs, nco_scale=2.0)
+    amp, _ = _lock_quality(np.asarray(nco_i), 2 * (19e3 + 12000.0), fs, n)
+    assert amp < 0.5, f"unexpectedly locked at +12 kHz, amp={amp}"
+
+
+def test_pll_tracks_slow_drift():
+    """Linear pilot drift (aging/thermal XO): the NCO must follow the
+    instantaneous frequency.  500 Hz/s is ~3 orders beyond a real XO."""
+    fs, n = 240e3, 96000
+    rate = 500.0  # Hz/s
+    t = np.arange(n) / fs
+    x = np.cos(2 * np.pi * (19e3 * t + 0.5 * rate * t * t)).astype(np.float32)
+    nco_i, _, _ = pll(jnp.asarray(x), pll_init(dtype=jnp.float32), freq=19e3,
+                      fs=fs, nco_scale=2.0)
+    # correlate the settled half against the ideal chirp at 2x
+    sl = slice(n // 2, n)
+    chirp = np.exp(-2j * np.pi * 2 * (19e3 * t[sl] + 0.5 * rate * t[sl] ** 2))
+    amp = 2 * np.abs(np.mean(np.asarray(nco_i)[sl] * chirp))
+    assert amp > 0.97, f"not tracking drift, amp={amp}"
+
+
+def test_pll_locks_under_phase_noise(rng):
+    """Random-walk phase noise on the pilot: the loop tracks the noisy
+    phase; NCO stays unit-amplitude and correlated with the true (noisy)
+    carrier at 2x."""
+    fs, n = 240e3, 48000
+    t = np.arange(n) / fs
+    walk = np.cumsum(2e-3 * rng.standard_normal(n))
+    arg = 2 * np.pi * 19e3 * t + walk
+    x = np.cos(arg).astype(np.float32)
+    nco_i, _, _ = pll(jnp.asarray(x), pll_init(dtype=jnp.float32), freq=19e3,
+                      fs=fs, nco_scale=2.0)
+    sl = slice(n // 2, n)
+    ref = np.exp(-2j * arg[sl])
+    amp = 2 * np.abs(np.mean(np.asarray(nco_i)[sl] * ref))
+    assert amp > 0.95, f"lost the noisy carrier, amp={amp}"
+
+
 def test_pll_batched_matches_scalar(rng):
     fs, freq = 240e3, 19e3
     x = np.stack([_pilot(512, phase=p) for p in (0.0, 1.0, 2.0)])

@@ -68,6 +68,50 @@ def test_noisy_station_still_decodes():
     assert amp > 0.3  # expected ~0.44 clean (L=(mono+stereo)/2)
 
 
+def test_detuned_station_decodes():
+    """Realistic carrier impairment: pilot detuned +40 Hz (~2100 ppm — 40x a
+    real RTL-SDR's clock error), 50 ppm receiver sample-clock error scaling
+    the whole multiplex, 5 kHz tuner offset (DC after the discriminator),
+    and pilot phase noise.  Stereo separation must survive (PLL tracks the
+    moved 38 kHz subcarrier) and RDS must keep syncing (the squared 57 kHz
+    carrier lands 240 Hz off 114 kHz).  Reference anchor: model/fmPll.py
+    exists precisely to track these offsets."""
+    n_blocks = 8
+    rng = np.random.default_rng(0x515)
+    bits = encode_rds_blocks(rng.integers(0, 2, (40 * n_blocks, 16)))
+    wave = rds_baseband(bits)
+    n = n_blocks * MODE0.block_size // 2
+    iq = synth_multiplex_iq(n, rds_wave=wave, pilot_hz=19e3 + 40.0, ppm=50.0,
+                            carrier_offset_hz=5e3, phase_noise_std=5e-4,
+                            rng=rng)
+    syncs, audio = _run(iq, n_blocks)
+    assert all(s >= 1 for s in syncs[2:]), f"RDS lost sync: {syncs}"
+    assert not np.any(np.isnan(audio))
+
+    # stereo separation: the 2.3 kHz L-R tone must appear in L (L-R mixes in
+    # via the tracked PLL; an unlocked PLL would rotate it away)
+    init_fn, step_fn = make_receiver(MODE0, dtype=jnp.float32,
+                                     enable_rds=False)
+    state = init_fn()
+    step = jax.jit(step_fn)
+    bs = MODE0.block_size
+    l_all, r_all = [], []
+    for b in range(n_blocks):
+        state, out = step(state, jnp.asarray(iq[b * bs:(b + 1) * bs]))
+        l_all.append(np.asarray(out.left))
+        r_all.append(np.asarray(out.right))
+    diff = (np.concatenate(l_all) - np.concatenate(r_all))[2 * MODE0.audio_len:]
+    fs = 48e3
+    # the 50 ppm clock error shifts the recovered tone to 2.3 kHz * (1+ppm)
+    f_tone = 2.3e3 * (1 + 50e-6)
+    t = np.arange(len(diff)) / fs
+    amp = np.hypot(2 * np.mean(diff * np.sin(2 * np.pi * f_tone * t)),
+                   2 * np.mean(diff * np.cos(2 * np.pi * f_tone * t)))
+    expected = 2 * np.pi * 75e3 * 0.45 / 240e3
+    assert amp > 0.8 * expected, (
+        f"stereo separation lost under detuning: {amp} vs {expected}")
+
+
 def test_heavy_noise_no_crash():
     """Garbage-dominated input: no NaNs, no exceptions, bounded audio."""
     n_blocks = 3
