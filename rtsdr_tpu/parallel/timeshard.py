@@ -35,6 +35,7 @@ from rtsdr_tpu.config import ReceiverConfig
 from rtsdr_tpu.ops import coeffs
 from rtsdr_tpu.ops.demod import fm_discriminator
 from rtsdr_tpu.ops.fir import fir_decimate, fir_resample, fir_block
+from rtsdr_tpu.ops.iir import deemphasize
 from rtsdr_tpu.ops.pll import pll
 from rtsdr_tpu.parallel.mesh import CHANNEL_AXIS, TIME_AXIS
 from rtsdr_tpu.pipeline.audio import AudioState
@@ -70,6 +71,7 @@ def make_time_sharded_receiver(
     use_abs_clock: bool = False,
     resync: bool = False,
     pll_impl: str = "auto",
+    deemphasis: float | None = None,
 ):
     """Build ``(init_fn, step_fn)`` sharded over (channel, time).
 
@@ -94,7 +96,7 @@ def make_time_sharded_receiver(
     serial_init, serial_step = make_receiver(
         cfg, (n_channels,), dtype, enable_rds=enable_rds,
         enable_frame=enable_frame, offset_mode=offset_mode,
-        use_abs_clock=use_abs_clock)
+        use_abs_clock=use_abs_clock, deemphasis=deemphasis)
 
     # coefficients (host constants, closed over)
     rf_h = coeffs.lowpass_taps(cfg.rf.fs, cfg.rf.fc, cfg.rf.taps)
@@ -208,9 +210,24 @@ def make_time_sharded_receiver(
                                      tail=st_u_tail)
         left = 0.5 * (mono + stereo)
         right = 0.5 * (mono - stereo)
+        de_carry = None
+        if deemphasis is not None:
+            # De-emphasis IIR at the (tiny) 48 kS/s rate: gather the audio
+            # chunks, run the identical serial scan replicated on every time
+            # shard — bit-exact with the serial receiver by construction —
+            # and slice the local chunk back out.
+            lr = jnp.stack([left, right], axis=-2)
+            chunk_a = lr.shape[-1]
+            lr_full = lax.all_gather(lr, TIME_AXIS, axis=lr.ndim - 1,
+                                     tiled=True)
+            lr_de, de_carry = deemphasize(lr_full, state.audio.deemph,
+                                          fs=cfg.audio_fs, tau=deemphasis)
+            lr_loc = lax.dynamic_slice_in_dim(lr_de, t_id * chunk_a, chunk_a,
+                                              axis=lr_de.ndim - 1)
+            left, right = lr_loc[..., 0, :], lr_loc[..., 1, :]
         au_state = AudioState(mono_zi=mono_zi, pilot_zi=pilot_zi,
                               chan_zi=chan_zi, stereo_zi=stereo_zi,
-                              pll=pll_st, deemph=None)
+                              pll=pll_st, deemph=de_carry)
 
         rds_state = None
         frame_state = None

@@ -40,15 +40,21 @@ def _run_serial(cfg, raw, n_channels, n_blocks, **kw):
     return state, outs
 
 
-@pytest.mark.parametrize("t_shards,ch_shards", [(2, 1), (4, 2), (8, 1)])
-def test_time_sharded_equals_serial(station_u8, t_shards, ch_shards):
+@pytest.mark.parametrize("t_shards,ch_shards,deemph", [
+    (2, 1, None), (4, 2, None), (8, 1, None),
+    # feature parity: de-emphasis must survive the move onto a mesh
+    # (runs replicated at the 48 kS/s rate after an all_gather)
+    (4, 2, 75e-6), (8, 1, 50e-6),
+])
+def test_time_sharded_equals_serial(station_u8, t_shards, ch_shards, deemph):
     n_channels = 2 * ch_shards
     mesh = make_mesh(ch_shards, t_shards)
     init_fn, step_fn = make_time_sharded_receiver(
-        MODE0, mesh, n_channels, jnp.float32)
+        MODE0, mesh, n_channels, jnp.float32, deemphasis=deemph)
     state = init_fn()
 
-    ser_state, ser_outs = _run_serial(MODE0, station_u8, n_channels, N_BLOCKS)
+    ser_state, ser_outs = _run_serial(MODE0, station_u8, n_channels, N_BLOCKS,
+                                      deemphasis=deemph)
 
     bs = MODE0.block_size
     for b in range(N_BLOCKS):
