@@ -66,32 +66,36 @@ def main(argv=None) -> int:
     print("compiling receiver (first block is slow; subsequent blocks are "
           "real-time)...", file=sys.stderr)
     out = sys.stdout.buffer
-    wav_chunks = [] if args.wav else None
+
+    # wav output streams incrementally (header patched on close) so memory
+    # stays bounded on live/long captures
+    wav_w = None
+    if args.wav:
+        from rtsdr_tpu.io.wav import WavStreamWriter
+
+        wav_w = WavStreamWriter(args.wav, fs=int(cfg.audio_fs))
 
     def emit(b: bytes):
         out.write(b)
         out.flush()
-        if wav_chunks is not None:
-            wav_chunks.append(b)
+        if wav_w is not None:
+            wav_w.write_int16_bytes(b)
 
-    stats = runner.run(
-        sys.stdin.fileno(),
-        emit=emit,
-        rds_log=lambda s: print(s, file=sys.stderr),
-        max_blocks=args.blocks,
-    )
+    try:
+        stats = runner.run(
+            sys.stdin.fileno(),
+            emit=emit,
+            rds_log=lambda s: print(s, file=sys.stderr),
+            max_blocks=args.blocks,
+        )
+    finally:
+        if wav_w is not None:
+            wav_w.close()
 
-    if wav_chunks is not None:
-        import numpy as np
-        import wave
-
-        with wave.open(args.wav, "wb") as w:
-            w.setnchannels(2)
-            w.setsampwidth(2)
-            w.setframerate(int(cfg.audio_fs))
-            w.writeframes(b"".join(wav_chunks))
     print(f"processed {stats['blocks']} blocks, "
-          f"{stats['rds_events']} RDS events", file=sys.stderr)
+          f"{stats['rds_events']} RDS syncs "
+          f"({stats['rds_false_positives']} false positives)",
+          file=sys.stderr)
     return 0
 
 
@@ -105,7 +109,7 @@ def _batch_decode(cfg, files, max_blocks, kwargs) -> int:
     import numpy as np
 
     from rtsdr_tpu.io.stream import format_rds_events
-    from rtsdr_tpu.io.wav import write_wav
+    from rtsdr_tpu.io.wav import WavStreamWriter
     from rtsdr_tpu.pipeline.receiver import Receiver
 
     missing = [f for f in files if not os.path.isfile(f)]
@@ -118,8 +122,7 @@ def _batch_decode(cfg, files, max_blocks, kwargs) -> int:
     rx = Receiver(cfg, (n,), **kwargs)
     state = rx.init()
     handles = [open(f, "rb") for f in files]
-    left = [[] for _ in range(n)]
-    right = [[] for _ in range(n)]
+    writers: list = [None] * n  # opened on first block; stream per block
     blocks = 0
     events = 0
     try:
@@ -131,8 +134,11 @@ def _batch_decode(cfg, files, max_blocks, kwargs) -> int:
                 np.stack([np.frombuffer(r, np.uint8) for r in raws]))
             state, out = rx.step(state, batch)
             for c in range(n):
-                left[c].append(np.asarray(out.left[c]))
-                right[c].append(np.asarray(out.right[c]))
+                if writers[c] is None:
+                    writers[c] = WavStreamWriter(files[c] + ".wav",
+                                                 fs=int(cfg.audio_fs))
+                writers[c].write_float(np.asarray(out.left[c]),
+                                       np.asarray(out.right[c]))
                 if out.rds is not None:
                     fo = jax.tree.map(lambda x, c=c: x[c], out.rds)
                     for line in format_rds_events(fo):
@@ -142,11 +148,10 @@ def _batch_decode(cfg, files, max_blocks, kwargs) -> int:
     finally:
         for h in handles:
             h.close()
+        for w in writers:
+            if w is not None:
+                w.close()
 
-    for c, f in enumerate(files):
-        if left[c]:
-            write_wav(f + ".wav", np.concatenate(left[c]),
-                      np.concatenate(right[c]), fs=int(cfg.audio_fs))
     print(f"processed {blocks} blocks x {n} stations, {events} RDS events",
           file=sys.stderr)
     return 0

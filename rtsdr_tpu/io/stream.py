@@ -70,20 +70,27 @@ class StreamRunner:
         state = self.rx.init()
         n_blocks = 0
         n_syncs = 0
+        n_false_pos = 0
         pending = None  # outputs of the previous block, fetched lazily
 
         def drain(out):
-            nonlocal n_syncs
+            nonlocal n_syncs, n_false_pos
             if out is None:
                 return
             left = np.asarray(out.left)
             right = np.asarray(out.right)
             if emit is not None:
                 emit(emit_int16_interleave(left, right, scale).tobytes())
-            if out.rds is not None and rds_log is not None:
-                for line in format_rds_events(out.rds):
-                    rds_log(line)
-                    n_syncs += 1
+            if out.rds is not None:
+                if rds_log is not None:
+                    for line in format_rds_events(out.rds):
+                        rds_log(line)
+                # count accepted (26-spaced) syncs and false positives
+                # separately — a log line is not necessarily a sync
+                n_w = int(out.rds.n_windows)
+                n_syncs += int(np.sum(np.asarray(out.rds.is_sync)[:n_w]))
+                n_false_pos += int(
+                    np.sum(np.asarray(out.rds.is_false_pos)[:n_w]))
 
         with BlockReader(fd_in, cfg.block_size) as reader:
             while max_blocks is None or n_blocks < max_blocks:
@@ -95,7 +102,8 @@ class StreamRunner:
                 pending = out
                 n_blocks += 1
         drain(pending)
-        return {"blocks": n_blocks, "rds_events": n_syncs}
+        return {"blocks": n_blocks, "rds_events": n_syncs,
+                "rds_false_positives": n_false_pos}
 
 
 def main_loop(cfg: ReceiverConfig, max_blocks=None, **kwargs) -> dict:

@@ -15,7 +15,9 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <cerrno>
 #include <mutex>
+#include <poll.h>
 #include <queue>
 #include <thread>
 #include <unistd.h>
@@ -104,6 +106,25 @@ struct BlockReader {
       int64_t got = 0;
       uint8_t* buf = slots[slot].data();
       while (got < block_size) {
+        // Poll with a timeout so stop is observed even when the pipe is
+        // stalled with no data (a blocking read here would make destroy()
+        // hang until the writer produces bytes or closes).
+        if (stop.load()) {
+          std::lock_guard<std::mutex> lk(mu);
+          free_slots.push(slot);
+          return;
+        }
+        struct pollfd pfd = {fd, POLLIN, 0};
+        int pr = poll(&pfd, 1, 200 /* ms */);
+        if (pr == 0) continue;  // timeout: re-check stop
+        if (pr < 0) {
+          if (errno == EINTR) continue;
+          eof.store(true);  // unexpected poll failure: treat as stream end
+          std::lock_guard<std::mutex> lk(mu);
+          free_slots.push(slot);
+          cv_ready.notify_all();
+          return;
+        }
         ssize_t r = read(fd, buf + got, block_size - got);
         if (r <= 0) {  // EOF or error: drain and stop
           eof.store(true);

@@ -60,6 +60,24 @@ def test_block_reader_prefetch(tmp_path):
     np.testing.assert_array_equal(np.concatenate(got), ref[: 4 * 7000])
 
 
+def test_block_reader_close_on_stalled_pipe():
+    """Destroying the reader while the producer is blocked on an idle pipe
+    (no data, writer still open) must not hang: the producer polls with a
+    timeout and observes the stop flag."""
+    import time
+
+    r_fd, w_fd = os.pipe()
+    try:
+        reader = BlockReader(r_fd, 4096, n_slots=2)
+        time.sleep(0.1)  # let the producer block in poll/read
+        t0 = time.perf_counter()
+        reader.close()
+        assert time.perf_counter() - t0 < 2.0, "close() hung on stalled pipe"
+    finally:
+        os.close(r_fd)
+        os.close(w_fd)
+
+
 def test_cli_batch_stations(tmp_path):
     """--stations: N capture files decoded as one channel-batched receiver,
     one wav per station."""
