@@ -126,6 +126,76 @@ def frame_sizes(cfg: ReceiverConfig) -> tuple[int, int, int, int]:
     return s_max, b_max, e_max, w_max
 
 
+def resolve_sync(sid, w_valid, base_pos, last_position, bad_count,
+                 *, resync: bool):
+    """Resolve which syndrome matches are accepted 26-spaced syncs.
+
+    Semantics identical to the reference's sequential walk
+    (src/fm_radio.cpp:649-713): a match is accepted iff never-synced-before
+    or exactly 26 bits after the last accepted sync; other matches are
+    false positives.  With ``resync`` (the C++ recovery mechanism), >10
+    consecutive false positives reset the anchor.
+
+    Without resync the recurrence has a closed form — no sequential scan:
+    acceptances within a block form ONE arithmetic chain of 26-spaced
+    positions.  Entering synced (last>=0) the chain can only start at
+    w_chain = last+26-base (gp-last==26 has exactly one solution, and last
+    does not move until it hits); entering unsynced it starts at the first
+    match.  Position start+26k is accepted iff every chain position
+    start..start+26k matched (one miss and last stops advancing, making
+    every later gp-last != 26) — a cumulative-AND, i.e. cumsum of misses
+    == 0.  Equivalence with the sequential walk is property-tested over
+    random match patterns (tests/test_frame_edges.py).
+
+    Returns (is_sync, is_false_pos, is_resync, new_last_position,
+    new_bad_count); all per-window arrays are length ``len(sid)``.
+    """
+    i32 = jnp.int32
+    w_max = sid.shape[-1]
+    w = jnp.arange(w_max, dtype=i32)
+    positions = base_pos + w
+
+    if not resync:
+        is_match = (sid > 0) & w_valid
+        synced = last_position >= 0
+        w_chain = last_position + 26 - base_pos
+        w_first = jnp.argmax(is_match).astype(i32)
+        start = jnp.where(synced, w_chain, w_first)
+        delta = w - start
+        on_chain = (delta >= 0) & (delta % 26 == 0)
+        # synced with the chain slot already behind this block: nothing
+        # can be accepted (gp-last==26 unreachable; matches the walk)
+        possible = jnp.logical_or(~synced, w_chain >= 0)
+        fails = on_chain & ~is_match
+        cum_fails = jnp.cumsum(fails.astype(i32))
+        is_sync = on_chain & is_match & (cum_fails == 0) & possible
+        is_fp = is_match & ~is_sync
+        is_resync = jnp.zeros((w_max,), jnp.bool_)
+        any_acc = jnp.any(is_sync)
+        w_last = jnp.max(jnp.where(is_sync, w, -1))
+        new_last = jnp.where(any_acc, base_pos + w_last, last_position)
+        return is_sync, is_fp, is_resync, new_last, bad_count
+
+    def scan_fn(carry, inp):
+        last_pos, bad = carry
+        sid_w, gp, valid = inp
+        is_match = (sid_w > 0) & valid
+        ok = (last_pos < 0) | (gp - last_pos == 26)
+        real = is_match & ok
+        fp = is_match & ~ok
+        last_pos = jnp.where(real, gp, last_pos)
+        bad = jnp.where(real, 0, jnp.where(fp, bad + 1, bad))
+        fire = bad > 10
+        last_pos = jnp.where(fire, -1, last_pos)
+        bad = jnp.where(fire, 0, bad)
+        return (last_pos, bad), (real, fp, fire)
+
+    ((new_last, new_bad), (is_sync, is_fp, is_resync)) = jax.lax.scan(
+        scan_fn, (last_position, bad_count), (sid, positions, w_valid),
+        unroll=8)
+    return is_sync, is_fp, is_resync, new_last, new_bad
+
+
 def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
                use_abs_clock: bool = False, resync: bool = False):
     """Returns ``frame(state, rrc_i, rrc_q) -> (outputs, new_state)``.
@@ -229,10 +299,15 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         n_windows = length - 26
 
         w = jnp.arange(w_max, dtype=i32)
-        # windows[w, j] = ext[w + j]: 26 static shifted slices, no gather
-        windows = jnp.stack(
+        # windows[w, j] = ext[w + j]: 27 static shifted slices, no gather.
+        # Column 26 (= ext[w + 26]) is not part of the 26-bit syndrome
+        # window; it rides along so the 27-bit carry below is one one-hot
+        # row-select of this matrix instead of a vmapped dynamic_slice
+        # (which lowers to a slow per-channel gather on TPU).
+        windows27 = jnp.stack(
             [jax.lax.slice_in_dim(ext, j, j + w_max, axis=0)
-             for j in range(26)], axis=1)
+             for j in range(CARRY_BITS)], axis=1)
+        windows = windows27[:, :26]
         # GF(2) syndrome: one matmul over every window at once.  Computed in
         # float32 so it rides the MXU (int32 dots do not); sums are <= 26 so
         # float32 is exact.
@@ -249,28 +324,15 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         positions = state.base_pos + w
         w_valid = w < n_windows
 
-        def scan_fn(carry, inp):
-            last_pos, bad = carry
-            sid_w, gp, valid = inp
-            is_match = (sid_w > 0) & valid
-            ok = (last_pos < 0) | (gp - last_pos == 26)
-            real = is_match & ok
-            fp = is_match & ~ok
-            last_pos = jnp.where(real, gp, last_pos)
-            if resync:
-                bad = jnp.where(real, 0, jnp.where(fp, bad + 1, bad))
-                fire = bad > 10
-                last_pos = jnp.where(fire, -1, last_pos)
-                bad = jnp.where(fire, 0, bad)
-            else:
-                fire = jnp.zeros((), jnp.bool_)
-            return (last_pos, bad), (real, fp, fire)
+        (is_sync, is_fp, is_resync, last_position, bad_count) = resolve_sync(
+            sid, w_valid, state.base_pos, state.last_position,
+            state.bad_count, resync=resync)
 
-        (last_position, bad_count), (is_sync, is_fp, is_resync) = jax.lax.scan(
-            scan_fn, (state.last_position, state.bad_count),
-            (sid, positions, w_valid), unroll=8)
-
-        carry_new = jax.lax.dynamic_slice(ext, (n_windows - 1,), (CARRY_BITS,))
+        # carry = ext[n_windows-1 : n_windows-1+27] — a one-hot row-select
+        # of windows27 (gather-free; the float32 dot is exact for 0/1 data)
+        row_hot = (w == n_windows - 1).astype(jnp.float32)
+        carry_new = jnp.einsum(
+            "w,wj->j", row_hot, windows27.astype(jnp.float32)).astype(i32)
         base_new = state.base_pos + n_windows - 1
 
         outputs = FrameOutputs(

@@ -141,3 +141,61 @@ def test_track_mode_offset_12_survives():
         out, state = frame_fn(state, j, j)
         syncs += int(np.sum(np.asarray(out.is_sync)))
     assert syncs >= 3
+
+
+def _sequential_sync_walk(sid, w_valid, base, last, bad, resync):
+    """Numpy transcription of the reference's sequential sync walk
+    (src/fm_radio.cpp:649-713) — oracle for resolve_sync."""
+    n = len(sid)
+    is_sync = np.zeros(n, bool)
+    is_fp = np.zeros(n, bool)
+    is_rs = np.zeros(n, bool)
+    for w_i in range(n):
+        gp = base + w_i
+        match = sid[w_i] > 0 and w_valid[w_i]
+        ok = last < 0 or gp - last == 26
+        real = match and ok
+        fp = match and not ok
+        if real:
+            last = gp
+        is_sync[w_i], is_fp[w_i] = real, fp
+        if resync:
+            bad = 0 if real else (bad + 1 if fp else bad)
+            if bad > 10:
+                is_rs[w_i] = True
+                last, bad = -1, 0
+    return is_sync, is_fp, is_rs, last, bad
+
+
+@pytest.mark.parametrize("resync", [False, True])
+def test_resolve_sync_matches_sequential_walk(resync):
+    """Property test: the vectorized closed form (and the scan) must equal
+    the sequential walk over random match patterns and entry states —
+    including synced-with-chain-behind (w_chain < 0), mid-block chain
+    breaks, and dense false-positive storms."""
+    from rtsdr_tpu.pipeline.frame import resolve_sync
+
+    rng = np.random.default_rng(0xF00)
+    w_max = 77
+    for trial in range(200):
+        density = rng.choice([0.02, 0.1, 0.5, 0.95])
+        sid = (rng.random(w_max) < density) * rng.integers(1, 5, w_max)
+        n_windows = int(rng.integers(1, w_max + 1))
+        w_valid = np.arange(w_max) < n_windows
+        base = int(rng.integers(0, 500))
+        # entry states: never-synced, synced on-chain, synced behind/ahead
+        last = int(rng.choice([-1,
+                               base - 26 + int(rng.integers(0, 30)),
+                               base - int(rng.integers(27, 80))]))
+        bad = int(rng.integers(0, 12))
+        ref = _sequential_sync_walk(sid, w_valid, base, last, bad, resync)
+        got = resolve_sync(jnp.asarray(sid, jnp.int32),
+                           jnp.asarray(w_valid),
+                           jnp.asarray(base, jnp.int32),
+                           jnp.asarray(last, jnp.int32),
+                           jnp.asarray(bad, jnp.int32), resync=resync)
+        for k, (r, g) in enumerate(zip(ref, got)):
+            np.testing.assert_array_equal(
+                np.asarray(g), r,
+                err_msg=f"trial {trial} field {k}: sid={sid.tolist()} "
+                        f"base={base} last={last} bad={bad} nw={n_windows}")
