@@ -30,6 +30,10 @@ def main(argv=None) -> int:
                         "Europe)")
     p.add_argument("--wav", type=str, default=None,
                    help="also write decoded audio to a wav file")
+    p.add_argument("--rds-groups", action="store_true",
+                   help="decode RDS group payloads (PI/PTY/PS/RadioText) "
+                        "to stderr — beyond the reference, which stops at "
+                        "syndromes")
     p.add_argument("--stations", nargs="+", metavar="FILE", default=None,
                    help="batch mode: decode N capture files as one batched "
                         "receiver step; writes FILE.wav per station, RDS "
@@ -81,12 +85,24 @@ def main(argv=None) -> int:
         if wav_w is not None:
             wav_w.write_int16_bytes(b)
 
+    decoder = None
+    frame_hook = None
+    if args.rds_groups and not args.no_rds and cfg.rds is not None:
+        from rtsdr_tpu.pipeline.groups import GroupDecoder, format_group
+
+        decoder = GroupDecoder()
+
+        def frame_hook(fo):
+            for g in decoder.feed(fo):
+                print(format_group(g), file=sys.stderr)
+
     try:
         stats = runner.run(
             sys.stdin.fileno(),
             emit=emit,
             rds_log=lambda s: print(s, file=sys.stderr),
             max_blocks=args.blocks,
+            frame_hook=frame_hook,
         )
     finally:
         if wav_w is not None:
@@ -96,6 +112,14 @@ def main(argv=None) -> int:
           f"{stats['rds_events']} RDS syncs "
           f"({stats['rds_false_positives']} false positives)",
           file=sys.stderr)
+    if decoder is not None and decoder.pi is not None:
+        from rtsdr_tpu.pipeline.groups import PTY_NAMES
+
+        pty = PTY_NAMES[decoder.pty] if PTY_NAMES[decoder.pty] \
+            else str(decoder.pty)
+        print(f"RDS: PI=0x{decoder.pi:04X} PTY={pty} "
+              f"PS='{decoder.ps_name}' RT='{decoder.radiotext_str}'",
+              file=sys.stderr)
     return 0
 
 

@@ -59,11 +59,14 @@ class StreamRunner:
         rds_log: Callable[[str], None] | None = None,
         max_blocks: int | None = None,
         audio_scale: float | None = None,
+        frame_hook: Callable | None = None,
     ) -> dict:
         """Process blocks until EOF; returns summary stats.
 
         emit: called with interleaved int16 stereo bytes per block.
         rds_log: called per RDS frame-sync event line.
+        frame_hook: called with each block's FrameOutputs (e.g. a
+        pipeline.groups.GroupDecoder.feed for payload decoding).
         """
         cfg = self.cfg
         scale = cfg.audio_scale if audio_scale is None else audio_scale
@@ -85,6 +88,8 @@ class StreamRunner:
                 if rds_log is not None:
                     for line in format_rds_events(out.rds):
                         rds_log(line)
+                if frame_hook is not None:
+                    frame_hook(out.rds)
                 # count accepted (26-spaced) syncs and false positives
                 # separately — a log line is not necessarily a sync
                 n_w = int(out.rds.n_windows)

@@ -98,6 +98,10 @@ class FrameOutputs(NamedTuple):
     is_false_pos: jax.Array  # (W_MAX,) bool: matched but wrongly spaced
     positions: jax.Array     # (W_MAX,) int32 global bit positions
     is_resync: jax.Array     # (W_MAX,) bool: resync fired after this window
+    info_word: jax.Array     # (W_MAX,) int32: the window's 16 info bits,
+    #                          MSB-first (payload for group decoding — the
+    #                          reference stops at syndromes,
+    #                          src/fm_radio.cpp:649-696)
 
 
 def frame_init(cfg: ReceiverConfig, dtype=jnp.float32) -> FrameState:
@@ -321,6 +325,15 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         sid = jnp.where(jnp.any(match, axis=-1),
                         jnp.argmax(match, axis=-1).astype(i32) + 1, 0)
 
+        # 16-bit info payload per window.  The RDS standard transmits
+        # [info(16, MSB first) | crc^offset(10)]; that layout yields exactly
+        # the reference's syndrome values under H (verified against the
+        # standard generator polynomial in test_frame_edges.py), so on a
+        # real capture the info word is window bits 0..15.  One exact
+        # float32 matvec, no gathers.
+        pow2 = jnp.asarray(2.0 ** np.arange(15, -1, -1), jnp.float32)
+        info_word = (windows27[:, :16].astype(jnp.float32) @ pow2).astype(i32)
+
         positions = state.base_pos + w
         w_valid = w < n_windows
 
@@ -338,7 +351,8 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         outputs = FrameOutputs(
             n_sym=n_sym, symbols_i=sym_i, symbols_q=sym_q,
             n_windows=n_windows, syndrome_id=sid, is_sync=is_sync,
-            is_false_pos=is_fp, positions=positions, is_resync=is_resync)
+            is_false_pos=is_fp, positions=positions, is_resync=is_resync,
+            info_word=info_word)
         new_state = FrameState(
             offset=new_offset, start_pos=start_pos, lonely_bit=lonely,
             prebit=prebit_new, first_block=jnp.zeros((), jnp.bool_),

@@ -1,0 +1,135 @@
+"""RDS group-payload decoding: PI / PTY / PS / RadioText from synced blocks.
+
+The reference stops at printing syndrome names (src/fm_radio.cpp:649-696);
+this layer assembles its 26-bit blocks into 4-block groups and decodes the
+payloads a real radio shows.  Runs host-side over ``FrameOutputs`` — the
+per-window 16-bit info words are computed on device by the frame layer
+(pipeline/frame.py ``info_word``), so this is pure bookkeeping.
+
+Group layout (RDS standard, IEC 62106):
+  block A: PI code (station id)
+  block B: group type (4) | version B0 | TP | PTY (5) | type-specific (5)
+  0A/0B:   PS name segment address in B[1:0]; block D = 2 PS chars
+  2A:      RadioText segment in B[3:0]; blocks C+D = 4 RT chars
+  2B:      same, block D only (2 chars)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# RBDS (North America) program-type names — the reference hardware targets
+# an RTL-SDR in Canada.  Index = PTY code 0..31.
+PTY_NAMES = [
+    "None", "News", "Information", "Sports", "Talk", "Rock", "Classic Rock",
+    "Adult Hits", "Soft Rock", "Top 40", "Country", "Oldies", "Soft",
+    "Nostalgia", "Jazz", "Classical", "R&B", "Soft R&B", "Language",
+    "Religious Music", "Religious Talk", "Personality", "Public", "College",
+    "Spanish Talk", "Spanish Music", "Hip-Hop", "", "", "Weather",
+    "Emergency Test", "Emergency",
+]
+
+_OFFSET_A, _OFFSET_B, _OFFSET_C, _OFFSET_D = 1, 2, 3, 4  # syndrome ids
+
+
+@dataclass
+class Group:
+    pi: int
+    group_type: int
+    version: int          # 0 = A, 1 = B
+    tp: int
+    pty: int
+    blocks: tuple         # (info_a, info_b, info_c, info_d)
+    position: int         # global bit position of block A
+
+    @property
+    def name(self) -> str:
+        return f"{self.group_type}{'B' if self.version else 'A'}"
+
+
+@dataclass
+class GroupDecoder:
+    """Stateful assembler: feed per-block FrameOutputs (single channel),
+    collect decoded groups and the accumulated PS / RadioText strings."""
+
+    pi: int | None = None
+    pty: int | None = None
+    ps: list = field(default_factory=lambda: [" "] * 8)
+    radiotext: list = field(default_factory=lambda: [" "] * 64)
+    groups: list = field(default_factory=list)
+    _window: list = field(default_factory=list)   # recent (pos, sid, info)
+    _last_pos: int = -1                           # seam-duplicate guard
+
+    def feed(self, frame_out) -> list:
+        """Consume one block's FrameOutputs; returns groups completed."""
+        n_w = int(frame_out.n_windows)
+        sid = np.asarray(frame_out.syndrome_id)[:n_w]
+        sync = np.asarray(frame_out.is_sync)[:n_w]
+        pos = np.asarray(frame_out.positions)[:n_w]
+        info = np.asarray(frame_out.info_word)[:n_w]
+        new = []
+        for w in np.nonzero(sync)[0]:
+            p = int(pos[w])
+            if p <= self._last_pos:   # seam window re-evaluated: skip dup
+                continue
+            self._last_pos = p
+            self._window.append((p, int(sid[w]), int(info[w])))
+            self._window = self._window[-8:]
+            g = self._try_assemble()
+            if g is not None:
+                new.append(g)
+        self.groups.extend(new)
+        return new
+
+    def _try_assemble(self):
+        if len(self._window) < 4:
+            return None
+        (pa, sa, ia), (pb, sb, ib), (pc, sc, ic), (pd, sd, id_) = \
+            self._window[-4:]
+        if (sa, sb, sd) != (_OFFSET_A, _OFFSET_B, _OFFSET_D):
+            return None
+        if sc != _OFFSET_C:  # version-B groups use offset C' — the
+            return None      # reference H has no C' syndrome, so only A..D
+        if not (pb - pa == 26 and pc - pb == 26 and pd - pc == 26):
+            return None
+        g = Group(
+            pi=ia,
+            group_type=(ib >> 12) & 0xF,
+            version=(ib >> 11) & 1,
+            tp=(ib >> 10) & 1,
+            pty=(ib >> 5) & 0x1F,
+            blocks=(ia, ib, ic, id_),
+            position=pa,
+        )
+        self.pi = g.pi
+        self.pty = g.pty
+        if g.group_type == 0:
+            seg = ib & 0x3
+            self.ps[2 * seg] = chr((id_ >> 8) & 0xFF)
+            self.ps[2 * seg + 1] = chr(id_ & 0xFF)
+        elif g.group_type == 2 and g.version == 0:
+            seg = ib & 0xF
+            for k, ch in enumerate(((ic >> 8) & 0xFF, ic & 0xFF,
+                                    (id_ >> 8) & 0xFF, id_ & 0xFF)):
+                self.radiotext[4 * seg + k] = chr(ch)
+        elif g.group_type == 2:
+            seg = ib & 0xF
+            self.radiotext[2 * seg] = chr((id_ >> 8) & 0xFF)
+            self.radiotext[2 * seg + 1] = chr(id_ & 0xFF)
+        return g
+
+    @property
+    def ps_name(self) -> str:
+        return "".join(self.ps)
+
+    @property
+    def radiotext_str(self) -> str:
+        return "".join(self.radiotext).rstrip()
+
+
+def format_group(g: Group) -> str:
+    pty = PTY_NAMES[g.pty] if PTY_NAMES[g.pty] else str(g.pty)
+    return (f"Group {g.name} PI=0x{g.pi:04X} PTY={pty} TP={g.tp} "
+            f"at position {g.position}")

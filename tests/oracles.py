@@ -290,20 +290,40 @@ class GoldenFrameDecoder:
 
 
 # ------------------------------------------------------------ synthesizers
+# standard RDS CRC generator g(x) = x^10+x^8+x^7+x^5+x^4+x^3+1 and the
+# standard offset words (whose syndromes under the reference H are exactly
+# the reference's syndrome_A..D values)
+RDS_CRC_POLY = 0b10110111001
+RDS_OFFSET_WORDS = {"A": 0b0011111100, "B": 0b0110011000,
+                    "C": 0b0101101000, "D": 0b0110110100}
+
+
+def rds_crc10(info: int) -> int:
+    """info(x) * x^10 mod g(x) over GF(2); info is a 16-bit MSB-first int."""
+    r = info << 10
+    for i in range(25, 9, -1):
+        if (r >> i) & 1:
+            r ^= RDS_CRC_POLY << (i - 10)
+    return r & 0x3FF
+
+
 def encode_rds_blocks(info_words, rng=None):
-    """Build a valid RDS bit stream: 26-bit blocks [checkword|info] with
-    offset syndromes cycling A,B,C,D (layout matching the reference H:
-    identity rows first => checkword first)."""
-    h = _build_h()
-    p = h[10:]  # (16, 10) info parity contribution
+    """Build a standards-layout RDS bit stream: 26-bit blocks
+    [info(16, MSB first) | crc^offset(10)] with offsets cycling A,B,C,D.
+    This is the real over-the-air layout; under the reference H it produces
+    exactly the reference's syndrome values (src/fm_radio.cpp:479-482).
+
+    ``info_words``: iterable of 16-bit values — either ints or 16-element
+    MSB-first bit vectors."""
     names = ["A", "B", "C", "D"]
     bits = []
     for n, info in enumerate(info_words):
-        info = np.asarray(info, dtype=int)
-        syn = np.array(SYNDROME_LIST[names[n % 4]], dtype=int)
-        check = (syn + info @ p) % 2
-        bits.extend(check.tolist())
-        bits.extend(info.tolist())
+        if np.ndim(info) > 0:
+            info = int("".join(str(int(b)) for b in np.asarray(info)), 2)
+        info = int(info) & 0xFFFF
+        check = rds_crc10(info) ^ RDS_OFFSET_WORDS[names[n % 4]]
+        bits.extend((info >> (15 - k)) & 1 for k in range(16))
+        bits.extend((check >> (9 - k)) & 1 for k in range(10))
     return np.array(bits, dtype=int)
 
 
