@@ -255,14 +255,22 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
 
         # ---- Manchester phase screening, first block only
         # (model/fmRDSblock.py:233-250) ----
+        # All symbol indexing below is via the static even/odd planes —
+        # start_pos only selects between two statically-sliced variants, so
+        # there are NO data-dependent gathers (vmapped per-channel gathers
+        # are slow on TPU).
         def same_sign(a, b):
             return ((a > 0) & (b > 0)) | ((a < 0) & (b < 0))
 
-        m = jnp.arange(s_max // 4, dtype=i32)
+        pairs2_i = sym_i.reshape(b_max, 2)
+        even, odd = pairs2_i[:, 0], pairs2_i[:, 1]
+
+        s4 = s_max // 4
+        m = jnp.arange(s4, dtype=i32)
         m_mask = m < n_sym // 4
-        a0 = sym_i[2 * m]
-        a1 = sym_i[2 * m + 1]
-        a2 = sym_i[jnp.clip(2 * m + 2, 0, s_max - 1)]
+        a0 = even[:s4]           # sym[2m]
+        a1 = odd[:s4]            # sym[2m+1]
+        a2 = even[1:s4 + 1]      # sym[2m+2]  (2m+2 <= s_max/2 < s_max)
         c0 = same_sign(a0, a1) & m_mask
         c1 = (~same_sign(a0, a1)) & same_sign(a1, a2) & m_mask
         count0 = jnp.sum(c0.astype(i32))
@@ -271,24 +279,31 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         start_pos = jnp.where(state.first_block, start0, state.start_pos)
 
         # ---- symbol pairs -> bits (model/fmRDSblock.py:252-277) ----
+        # start_pos=0: bit j = sym[2j]   > sym[2j+1]  =  even[j] > odd[j]
+        # start_pos=1: bit j = sym[2j-1] > sym[2j]    =  odd[j-1] > even[j]
+        #              (j=0 handled by the carried front bit)
         j = jnp.arange(b_max, dtype=i32)
-        a_idx = 2 * j - start_pos          # j=0, sp=1 handled by front bit
-        b_idx = 2 * j + 1 - start_pos
-        sa = sym_i[jnp.clip(a_idx, 0, s_max - 1)]
-        sb = sym_i[jnp.clip(b_idx, 0, s_max - 1)]
-        pair_bits = (sa > sb).astype(i32)
+        odd_prev = jnp.concatenate([odd[:1], odd[:-1]])
+        bits0 = (even > odd).astype(i32)
+        bits1 = (odd_prev > even).astype(i32)
+        pair_bits = jnp.where(start_pos == 0, bits0, bits1)
         front = ((state.lonely_bit > sym_i[0]) & ~state.first_block).astype(i32)
         bits = jnp.where((j == 0) & (start_pos == 1), front, pair_bits)
         n_bits = (n_sym // 2).astype(i32)
-        lonely = jnp.where(start_pos == 1, sym_i[n_sym - 1], state.lonely_bit)
+        # sym_i[n_sym-1] as a one-hot contraction (exact: others are *0)
+        sym_last = jnp.sum(
+            sym_i * (jnp.arange(s_max, dtype=i32) == n_sym - 1))
+        lonely = jnp.where(start_pos == 1, sym_last, state.lonely_bit)
 
         # ---- differential decode (model/fmRDSblock.py:281-292) ----
         prev = jnp.concatenate([state.prebit[None], bits[:-1]])
         diff_all = jnp.bitwise_xor(bits, prev)
         shift = jnp.where(state.first_block, 1, 0).astype(i32)
-        diff = jnp.roll(diff_all, -shift)
+        diff = jnp.where(shift == 1,
+                         jnp.concatenate([diff_all[1:], diff_all[:1]]),
+                         diff_all)
         n_diff = n_bits - shift
-        prebit_new = bits[n_bits - 1]
+        prebit_new = jnp.sum(jnp.where(j == n_bits - 1, bits, 0))
 
         # ---- frame sync (model/fmRDSblock.py:296-346) ----
         # ext = [carry (carry_len) | diff (n_diff)], fixed size e_max; padded
