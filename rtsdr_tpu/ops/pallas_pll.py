@@ -47,14 +47,19 @@ def _wrap_pi(z):
     return z - _TWO_PI * jnp.round(z * (1.0 / _TWO_PI))
 
 
-def _kernel(x_ref, s_ref, arg_ref, s_out_ref, carry,
-            *, kp, ki, dtheta, chunk):
+def _kernel(x_ref, s_ref, arg_ref, s_out_ref, carry, *, chunk):
     @pl.when(pl.program_id(0) == 0)
     def _():
         carry[:] = s_ref[:]
 
-    # carry rows: 0 integ, 1 phase, 2 arg (feedback trig argument), 4 theta
+    # carry rows: 0 integ, 1 phase, 2 arg (feedback trig argument), 4 theta;
+    # rows 5/6/7 hold the per-lane loop constants kp/ki/dtheta — vectors so
+    # differently-configured loop instances (stereo pilot + RDS carrier)
+    # fuse into one kernel as extra lanes at identical per-step cost.
     c0 = (carry[0, :], carry[1, :], carry[2, :], carry[4, :])
+    kp = carry[5, :]
+    ki = carry[6, :]
+    dtheta = carry[7, :]
 
     def body(j, c):
         integ, phase, arg, theta = c
@@ -92,11 +97,11 @@ def pll_pallas(
     x: jax.Array,
     state: PLLState,
     *,
-    freq: float,
+    freq,
     fs: float,
-    nco_scale: float = 1.0,
-    phase_adjust: float = 0.0,
-    norm_bandwidth: float = 0.01,
+    nco_scale=1.0,
+    phase_adjust=0.0,
+    norm_bandwidth=0.01,
     chunk: int = 4096,
     interpret: bool | None = None,
     delay_output: bool = True,
@@ -131,32 +136,37 @@ def pll_pallas(
     if c != c_real:
         xt = jnp.pad(xt, ((0, 0), (0, c - c_real)))
 
+    cp, ci = 2.666, 3.555
+    # loop constants per lane (float64 host math, then cast — matches the
+    # scan implementation's rounding); scalars broadcast, arrays fuse
+    # differently-configured loop instances into one kernel
+    np_t = np.float32 if dtype == jnp.float32 else np.float64
+
+    def lane_const(v):
+        arr = np.broadcast_to(np.asarray(v, np_t), batch_shape)
+        return jnp.asarray(arr.reshape(c_real), dtype)
+
+    nb64 = np.asarray(norm_bandwidth, np.float64)
+    kp_v = lane_const(nb64 * cp)
+    ki_v = lane_const(nb64 * nb64 * ci)
+    dtheta_v = lane_const(2.0 * math.pi * np.asarray(freq, np.float64) / fs)
+
     def pack(st: PLLState):
         # row 2 carries the feedback trig argument recovered from
         # (fb_i, fb_q); any 2*pi ambiguity is harmless (wrapped detector)
         arg0 = jnp.arctan2(st.fb_q, st.fb_i)
-        rows = [st.integrator, st.phase_est, arg0,
-                jnp.zeros_like(st.theta), st.theta,
-                jnp.zeros_like(st.theta), jnp.zeros_like(st.theta)]
-        m = jnp.stack([r.reshape(c_real) for r in rows]
-                      + [jnp.zeros(c_real, dtype)])
+        rows = [st.integrator.reshape(c_real),
+                st.phase_est.reshape(c_real), arg0.reshape(c_real),
+                jnp.zeros(c_real, dtype), st.theta.reshape(c_real),
+                kp_v, ki_v, dtheta_v]
+        m = jnp.stack([r.astype(dtype) for r in rows])
         if c != c_real:
             m = jnp.pad(m, ((0, 0), (0, c - c_real)))
         return m.astype(dtype)
 
     s_in = pack(state)
 
-    cp, ci = 2.666, 3.555
-    # loop constants are compiled into the kernel as python floats; numpy
-    # float32 rounding first so numerics match the scan implementation
-    f32 = lambda v: float(np.float32(v)) if dtype == jnp.float32 else float(v)
-    kern = partial(
-        _kernel,
-        kp=f32(norm_bandwidth * cp),
-        ki=f32(norm_bandwidth * norm_bandwidth * ci),
-        dtheta=f32(2.0 * math.pi * freq / fs),
-        chunk=chunk,
-    )
+    kern = partial(_kernel, chunk=chunk)
 
     grid = (n // chunk,)
     args_t, s_out = pl.pallas_call(
@@ -180,10 +190,14 @@ def pll_pallas(
         interpret=interpret,
     )(xt, s_in)
 
-    # batched NCO synthesis — the transcendentals, fully vectorized
+    # batched NCO synthesis — the transcendentals, fully vectorized;
+    # nco_scale / phase_adjust broadcast per lane like the loop constants
     args = args_t[:, :c_real].T.reshape(*batch_shape, n)
-    nco_arg = args * jnp.asarray(f32(nco_scale), dtype) + jnp.asarray(
-        f32(phase_adjust), dtype)
+    scale_v = jnp.asarray(
+        np.broadcast_to(np.asarray(nco_scale, np_t), batch_shape), dtype)
+    adjust_v = jnp.asarray(
+        np.broadcast_to(np.asarray(phase_adjust, np_t), batch_shape), dtype)
+    nco_arg = args * scale_v[..., None] + adjust_v[..., None]
     nco_i_new = jnp.cos(nco_arg)
     nco_q_new = jnp.sin(nco_arg)
 

@@ -105,11 +105,20 @@ def pll(
             delay_output=delay_output)
     dtype = x.dtype
     cp, ci = 2.666, 3.555
-    kp = jnp.asarray(norm_bandwidth * cp, dtype)
-    ki = jnp.asarray(norm_bandwidth * norm_bandwidth * ci, dtype)
-    dtheta = jnp.asarray(2.0 * math.pi * freq / fs, dtype)
-    scale = jnp.asarray(nco_scale, dtype)
-    adjust = jnp.asarray(phase_adjust, dtype)
+    # freq / norm_bandwidth / nco_scale / phase_adjust may be arrays
+    # broadcastable to the batch shape (fusing differently-configured loop
+    # instances into one call — e.g. the stereo pilot and RDS carrier
+    # loops); per-lane numerics are identical to separate calls because the
+    # derived constants are computed in float64 host-side, then cast.
+    import numpy as np
+
+    nb64 = np.asarray(norm_bandwidth, np.float64)
+    f64 = np.asarray(freq, np.float64)
+    kp = jnp.asarray(np.asarray(nb64 * cp)).astype(dtype)
+    ki = jnp.asarray(np.asarray(nb64 * nb64 * ci)).astype(dtype)
+    dtheta = jnp.asarray(np.asarray(2.0 * math.pi * f64 / fs)).astype(dtype)
+    scale = jnp.asarray(np.asarray(nco_scale, np.float64)).astype(dtype)
+    adjust = jnp.asarray(np.asarray(phase_adjust, np.float64)).astype(dtype)
     four_pi = jnp.asarray(_FOUR_PI, dtype)
 
     # time-major for scan: (N, ...)

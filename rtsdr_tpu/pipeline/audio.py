@@ -23,7 +23,13 @@ import jax.numpy as jnp
 
 from rtsdr_tpu.config import ReceiverConfig
 from rtsdr_tpu.ops import coeffs
-from rtsdr_tpu.ops.fir import fir_block, fir_resample, fir_zi, resample_zi
+from rtsdr_tpu.ops.fir import (
+    fir_block,
+    fir_block_multi,
+    fir_resample,
+    fir_zi,
+    resample_zi,
+)
 from rtsdr_tpu.ops.iir import deemphasize
 from rtsdr_tpu.ops.pll import PLLState, pll, pll_init
 
@@ -87,37 +93,58 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
                                   cfg.stereo.chan_hi, cfg.stereo.taps)
     pcfg = cfg.stereo.pll
 
-    def audio(state: AudioState, fm: jax.Array):
-        # mono path; gain=up restores the resampler's Parseval loss
-        # (C++ applies the same x24 at emit, src/fm_radio.cpp:206,297)
-        mono, mono_zi = fir_resample(fm, mono_h, state.mono_zi, up, down)
-
+    def audio(state: AudioState, fm: jax.Array,
+              pilot: jax.Array | None = None,
+              chan: jax.Array | None = None,
+              nco_pre: tuple | None = None):
         if not enable_stereo:
+            # mono path; gain=up restores the resampler's Parseval loss
+            # (C++ applies the same x24 at emit, src/fm_radio.cpp:206,297)
+            mono, mono_zi = fir_resample(fm, mono_h, state.mono_zi, up, down)
             out, de = _deemph(mono, mono, state.deemph)
             new_state = AudioState(mono_zi=mono_zi, pilot_zi=None,
                                    chan_zi=None, stereo_zi=None, pll=None,
                                    deemph=de)
             return (*out, mono), new_state
 
-        # stereo pilot -> 38 kHz NCO
-        pilot, pilot_zi = fir_block(fm, pilot_h, state.pilot_zi)
-        nco, _, pll_state = pll(
-            pilot, state.pll, freq=pcfg.freq, fs=if_fs,
-            nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
-            norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl,
-            delay_output=cfg.stereo.nco_delay)
+        # pilot + channel band-passes filter the SAME input, so they share
+        # one overlap-save tail and one stacked banded matmul (the windows
+        # buffer is read once).  The receiver may pass them precomputed
+        # (3-fused with the RDS extraction BPF, pipeline/receiver.py).
+        if pilot is None or chan is None:
+            bank, if_tail = fir_block_multi(fm, [pilot_h, chan_h],
+                                            state.pilot_zi)
+            pilot, chan = bank[..., 0, :], bank[..., 1, :]
+        else:
+            if_tail = jnp.concatenate(
+                [state.pilot_zi, fm], axis=-1)[..., -(cfg.stereo.taps - 1):]
 
-        # stereo channel -> mix down to baseband -> LPF + resample
-        chan, chan_zi = fir_block(fm, chan_h, state.chan_zi)
+        # stereo pilot -> 38 kHz NCO (the receiver may pass the NCO
+        # precomputed, fused with the RDS carrier loop in one kernel)
+        if nco_pre is not None:
+            nco, pll_state = nco_pre
+        else:
+            nco, _, pll_state = pll(
+                pilot, state.pll, freq=pcfg.freq, fs=if_fs,
+                nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
+                norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl,
+                delay_output=cfg.stereo.nco_delay)
+
+        # mix the stereo channel to baseband; then mono and stereo share
+        # the same 16 kHz resampler taps, so both run as one stacked call
         mixed = 2.0 * chan * nco
-        stereo, stereo_zi = fir_resample(mixed, mono_h, state.stereo_zi, up, down)
+        pair = jnp.stack([fm, mixed], axis=-2)
+        pair_zi = jnp.stack([state.mono_zi, state.stereo_zi], axis=-2)
+        ys, zi2 = fir_resample(pair, mono_h, pair_zi, up, down)
+        mono, stereo = ys[..., 0, :], ys[..., 1, :]
+        mono_zi, stereo_zi = zi2[..., 0, :], zi2[..., 1, :]
 
         left = 0.5 * (mono + stereo)
         right = 0.5 * (mono - stereo)
         (left, right), de = _deemph(left, right, state.deemph)
 
-        new_state = AudioState(mono_zi=mono_zi, pilot_zi=pilot_zi,
-                               chan_zi=chan_zi, stereo_zi=stereo_zi,
+        new_state = AudioState(mono_zi=mono_zi, pilot_zi=if_tail,
+                               chan_zi=if_tail, stereo_zi=stereo_zi,
                                pll=pll_state, deemph=de)
         return (left, right, mono), new_state
 

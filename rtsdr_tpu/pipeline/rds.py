@@ -66,14 +66,27 @@ def make_rds(cfg: ReceiverConfig, pll_impl: str = "auto"):
     rrc_h = coeffs.rrc_taps(r.rrc_fs, r.rrc_taps, r.rrc_beta, r.symbol_rate)
     pcfg = r.pll
 
-    def rds(state: RDSState, fm: jax.Array):
-        extract, extract_zi = fir_block(fm, extract_h, state.extract_zi)
-        pre_pll, squared_zi = fir_block(extract * extract, squared_h,
-                                        state.squared_zi)
-        nco_i, nco_q, pll_state = pll(
-            pre_pll, state.pll, freq=pcfg.freq, fs=if_fs,
-            nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
-            norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl)
+    def rds(state: RDSState, fm: jax.Array,
+            extract: jax.Array | None = None,
+            nco_pre: tuple | None = None):
+        # the receiver may pass `extract` precomputed (3-fused with the
+        # stereo pilot/channel band-passes over the same fm input) and the
+        # carrier NCO precomputed (PLL fused with the stereo pilot loop);
+        # nco_pre = (nco_i, nco_q, pll_state, squared_zi)
+        if extract is None:
+            extract, extract_zi = fir_block(fm, extract_h, state.extract_zi)
+        else:
+            extract_zi = jnp.concatenate(
+                [state.extract_zi, fm], axis=-1)[..., -(r.taps - 1):]
+        if nco_pre is not None:
+            nco_i, nco_q, pll_state, squared_zi = nco_pre
+        else:
+            pre_pll, squared_zi = fir_block(extract * extract, squared_h,
+                                            state.squared_zi)
+            nco_i, nco_q, pll_state = pll(
+                pre_pll, state.pll, freq=pcfg.freq, fs=if_fs,
+                nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
+                norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl)
 
         # I/Q mixers, stacked so every later filter runs once
         mixed = 2.0 * extract[..., None, :] * jnp.stack([nco_i, nco_q], axis=-2)

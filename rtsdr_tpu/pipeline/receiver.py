@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from rtsdr_tpu.config import ReceiverConfig
+from rtsdr_tpu.ops.fir import fir_block_multi
 from rtsdr_tpu.pipeline.audio import AudioState, audio_init, make_audio
 from rtsdr_tpu.pipeline.frame import (
     FrameOutputs,
@@ -85,6 +86,43 @@ def make_receiver(
     audio = make_audio(cfg, enable_stereo=enable_stereo,
                        pll_impl=pll_impl, deemphasis=deemphasis)
     rds_fn = make_rds(cfg, pll_impl=pll_impl) if enable_rds else None
+
+    # With both stereo and RDS on, three IF-rate band-passes (pilot,
+    # stereo channel, RDS extraction) filter the SAME demodulated signal
+    # with equal tap counts: fuse them into one stacked banded matmul that
+    # reads the input windows from HBM once (ops/fir.py fir_block_multi).
+    # The two PLL instances (stereo pilot x2, RDS carrier x0.5) likewise
+    # fuse into ONE loop call with per-lane constants (ops/pll.py) — the
+    # sequential recurrence is the chain's latency floor, so halving the
+    # number of loop passes matters more than any FLOP count.
+    if_bank_h = None
+    fuse_pll = False
+    squared_h = None
+    if enable_stereo and enable_rds and cfg.stereo.taps == cfg.rds.taps:
+        import numpy as _np
+
+        from rtsdr_tpu.ops import coeffs
+        from rtsdr_tpu.ops.fir import fir_block
+        from rtsdr_tpu.ops.pll import pll
+
+        if_fs = cfg.rf.if_fs
+        if_bank_h = [
+            coeffs.bandpass_taps(if_fs, cfg.stereo.pilot_lo,
+                                 cfg.stereo.pilot_hi, cfg.stereo.taps),
+            coeffs.bandpass_taps(if_fs, cfg.stereo.chan_lo,
+                                 cfg.stereo.chan_hi, cfg.stereo.taps),
+            coeffs.bandpass_taps(if_fs, cfg.rds.extract_lo,
+                                 cfg.rds.extract_hi, cfg.rds.taps),
+        ]
+        fuse_pll = cfg.stereo.nco_delay  # both loops use the delayed view
+        if fuse_pll:
+            squared_h = coeffs.bandpass_taps(if_fs, cfg.rds.squared_lo,
+                                             cfg.rds.squared_hi, cfg.rds.taps)
+            sp, rp = cfg.stereo.pll, cfg.rds.pll
+            pll_freqs = _np.array([sp.freq, rp.freq])
+            pll_bws = _np.array([sp.norm_bandwidth, rp.norm_bandwidth])
+            pll_scales = _np.array([sp.nco_scale, rp.nco_scale])
+            pll_adjusts = _np.array([sp.phase_adjust, rp.phase_adjust])
     frame_fn = None
     if enable_rds and enable_frame:
         frame_fn = make_frame(cfg, offset_mode=offset_mode,
@@ -114,13 +152,38 @@ def make_receiver(
         # ingest (u8 normalize/deinterleave) happens inside the frontend —
         # on TPU fused directly into the FIR windows (ops/ingestfir.py)
         fm, fe_state = frontend(state.frontend, raw_u8)
-        (left, right, mono), au_state = audio(state.audio, fm)
+
+        pilot = chan = extract = None
+        audio_nco = rds_nco = None
+        if if_bank_h is not None:
+            bank, _ = fir_block_multi(fm, if_bank_h, state.audio.pilot_zi)
+            pilot, chan, extract = (bank[..., 0, :], bank[..., 1, :],
+                                    bank[..., 2, :])
+            if fuse_pll:
+                pre_pll, squared_zi = fir_block(extract * extract, squared_h,
+                                                state.rds.squared_zi)
+                pair = jnp.stack([pilot, pre_pll], axis=-2)
+                st2 = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=-1),
+                                   state.audio.pll, state.rds.pll)
+                nco_i2, nco_q2, st2 = pll(
+                    pair, st2, freq=pll_freqs, fs=cfg.rf.if_fs,
+                    nco_scale=pll_scales, phase_adjust=pll_adjusts,
+                    norm_bandwidth=pll_bws, impl=pll_impl)
+                audio_nco = (nco_i2[..., 0, :],
+                             jax.tree.map(lambda v: v[..., 0], st2))
+                rds_nco = (nco_i2[..., 1, :], nco_q2[..., 1, :],
+                           jax.tree.map(lambda v: v[..., 1], st2),
+                           squared_zi)
+        (left, right, mono), au_state = audio(state.audio, fm,
+                                              pilot=pilot, chan=chan,
+                                              nco_pre=audio_nco)
 
         rds_state = None
         frame_state = None
         rds_out = None
         if rds_fn is not None:
-            (rrc_i, rrc_q), rds_state = rds_fn(state.rds, fm)
+            (rrc_i, rrc_q), rds_state = rds_fn(state.rds, fm, extract=extract,
+                                               nco_pre=rds_nco)
             if frame_fn is not None:
                 rds_out, frame_state = frame_fn(state.frame, rrc_i, rrc_q)
             else:

@@ -64,3 +64,46 @@ def test_matmul_conv_f32(rng):
     ref = np.asarray(_conv1d_valid_xla(jnp.asarray(x), jnp.asarray(h), 1))
     ours = np.asarray(_conv1d_valid_matmul(jnp.asarray(x), jnp.asarray(h), 1))
     np.testing.assert_allclose(ours, ref, rtol=0, atol=2e-6)
+
+
+def test_multi_filter_matmul_matches_individual(rng):
+    """Stacked F-filter banded matmul == per-filter matmuls exactly."""
+    from rtsdr_tpu.ops.fir import _conv1d_valid_multi_matmul
+
+    taps = 151
+    hs = [lowpass_taps(240e3, 16e3, taps),
+          lowpass_taps(240e3, 3e3, taps),
+          np.sin(np.arange(taps) * 0.7) / taps]
+    xext = rng.standard_normal((3, 15360 + taps - 1))
+    got = np.asarray(_conv1d_valid_multi_matmul(
+        jnp.asarray(xext), jnp.stack([jnp.asarray(h) for h in hs])))
+    assert got.shape == (3, 3, 15360)
+    for f, h in enumerate(hs):
+        ref = np.asarray(_conv1d_valid_matmul(jnp.asarray(xext),
+                                              jnp.asarray(h)))
+        np.testing.assert_allclose(got[:, f], ref, rtol=1e-12, atol=1e-12)
+
+
+def test_fir_block_multi_state_chain(rng):
+    """fir_block_multi == F separate fir_block chains, including state."""
+    from rtsdr_tpu.ops.fir import fir_block, fir_block_multi, fir_zi
+
+    taps = 151
+    hs = [lowpass_taps(240e3, 16e3, taps),
+          np.cos(np.arange(taps) * 0.3) / taps]
+    x1 = rng.standard_normal((2, 2000))
+    x2 = rng.standard_normal((2, 2000))
+
+    zi = fir_zi(taps, (2,), jnp.float64)
+    y1, zi1 = fir_block_multi(jnp.asarray(x1), hs, zi)
+    y2, zi2 = fir_block_multi(jnp.asarray(x2), hs, zi1)
+
+    for f, h in enumerate(hs):
+        zr = fir_zi(taps, (2,), jnp.float64)
+        r1, zr1 = fir_block(jnp.asarray(x1), h, zr)
+        r2, zr2 = fir_block(jnp.asarray(x2), h, zr1)
+        np.testing.assert_allclose(np.asarray(y1[:, f]), np.asarray(r1),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(y2[:, f]), np.asarray(r2),
+                                   atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(zi2), np.asarray(zr2))

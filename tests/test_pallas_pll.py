@@ -1,5 +1,6 @@
 """Pallas PLL kernel vs the lax.scan reference (interpret mode on CPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -51,3 +52,42 @@ def test_pallas_chunking_and_state_chain():
         outs.append(np.asarray(oi))
     np.testing.assert_allclose(np.concatenate(outs), np.asarray(ref_i),
                                atol=5e-5)
+
+
+def test_fused_two_config_matches_separate():
+    """One call with per-lane loop constants (stereo pilot + RDS carrier
+    fused as batch rows) must equal two separately-configured calls —
+    scan and pallas paths."""
+    import math
+
+    from rtsdr_tpu.ops.pll import pll
+
+    n = 1920
+    t = np.arange(n) / 240e3
+    x_pilot = np.cos(2 * np.pi * 19e3 * t + 0.4).astype(np.float32)
+    x_rds = np.cos(2 * np.pi * 114e3 * t + 1.1).astype(np.float32)
+    x2 = jnp.asarray(np.stack([x_pilot, x_rds]))
+
+    freqs = np.array([19e3, 114e3])
+    bws = np.array([0.01, 0.001])
+    scales = np.array([2.0, 0.5])
+    adjusts = np.array([0.0, math.pi / 3.3 - math.pi / 1.5])
+
+    for impl_kwargs in ({"impl": "scan"}, {"impl": "pallas"}):
+        fused_i, fused_q, fused_st = pll(
+            x2, pll_init((2,), jnp.float32), freq=freqs, fs=240e3,
+            nco_scale=scales, phase_adjust=adjusts, norm_bandwidth=bws,
+            **impl_kwargs)
+        for r in range(2):
+            ref_i, ref_q, ref_st = pll(
+                x2[r], pll_init((), jnp.float32), freq=float(freqs[r]),
+                fs=240e3, nco_scale=float(scales[r]),
+                phase_adjust=float(adjusts[r]),
+                norm_bandwidth=float(bws[r]), **impl_kwargs)
+            np.testing.assert_allclose(np.asarray(fused_i[r]),
+                                       np.asarray(ref_i), atol=1e-6,
+                                       err_msg=f"{impl_kwargs} row {r}")
+            for a, b in zip(jax.tree.leaves(jax.tree.map(lambda v: v[r], fused_st)),
+                            jax.tree.leaves(ref_st)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-6)
