@@ -47,46 +47,66 @@ def _wrap_pi(z):
     return z - _TWO_PI * jnp.round(z * (1.0 / _TWO_PI))
 
 
-def _kernel(x_ref, s_ref, arg_ref, s_out_ref, carry, *, chunk):
+def _kernel(x_ref, s_ref, arg_ref, s_out_ref, carry, *, chunk, groups):
     @pl.when(pl.program_id(0) == 0)
     def _():
         carry[:] = s_ref[:]
 
-    # carry rows: 0 integ, 1 phase, 2 arg (feedback trig argument), 4 theta;
-    # rows 5/6/7 hold the per-lane loop constants kp/ki/dtheta — vectors so
-    # differently-configured loop instances (stereo pilot + RDS carrier)
-    # fuse into one kernel as extra lanes at identical per-step cost.
-    c0 = (carry[0, :], carry[1, :], carry[2, :], carry[4, :])
-    kp = carry[5, :]
-    ki = carry[6, :]
-    dtheta = carry[7, :]
+    # carry rows: 0 integ, 1 phase, 2 arg (feedback trig argument), 4 theta.
+    # ``groups`` is a static tuple of (lane_start, lane_stop, kp, ki,
+    # dtheta): each group is a contiguous 128-aligned lane span whose loop
+    # constants are compiled-in python scalars (cheapest — no extra live
+    # vectors in the loop).  A single-config call is one full-width group;
+    # a fused multi-config call (stereo pilot + RDS carrier as extra lanes)
+    # is one group per config.  When constants genuinely vary per lane,
+    # kp is None and they ride in carry rows 5/6/7 as vectors instead
+    # (measurably slower at high lane counts: register pressure).
+    c0 = []
+    consts = []
+    for (s0, s1, kp, ki, dtheta) in groups:
+        c0.append((carry[0, s0:s1], carry[1, s0:s1], carry[2, s0:s1],
+                   carry[4, s0:s1]))
+        if kp is None:
+            consts.append((carry[5, s0:s1], carry[6, s0:s1],
+                           carry[7, s0:s1]))
+        else:
+            consts.append((kp, ki, dtheta))
+    c0 = tuple(c0)
 
-    def body(j, c):
-        integ, phase, arg, theta = c
+    def body(j, cs):
         base = pl.multiple_of(j * 8, 8)
-        xb = x_ref[pl.ds(base, 8), :]
-        rows = []
-        for r in range(8):
-            xk = xb[r, :]
-            # select-free detector (jnp.where on 1-D vectors is pathological
-            # in Mosaic): s=sign(x); error = s^2 * wrap_pi(-arg + pi*(1-s)/2)
-            # == wrap_pi(-arg) for x>0, wrap_pi(pi-arg) for x<0, 0 for x==0.
-            s = jnp.sign(xk)
-            error_d = (s * s) * _wrap_pi(-arg + (_PI * 0.5) * (1.0 - s))
-            integ = integ + ki * error_d
-            phase = jnp.mod(phase + kp * error_d + integ, _FOUR_PI)
-            theta = jnp.mod(theta + dtheta, _FOUR_PI)
-            arg = theta + phase
-            rows.append(arg)
-        arg_ref[pl.ds(base, 8), :] = jnp.stack(rows)
-        return (integ, phase, arg, theta)
+        out = []
+        for gi, (s0, s1, *_unused) in enumerate(groups):
+            kp, ki, dtheta = consts[gi]
+            integ, phase, arg, theta = cs[gi]
+            xb = x_ref[pl.ds(base, 8), s0:s1]
+            rows = []
+            for r in range(8):
+                xk = xb[r, :]
+                # select-free detector (jnp.where on 1-D vectors is
+                # pathological in Mosaic): s=sign(x);
+                # error = s^2 * wrap_pi(-arg + pi*(1-s)/2)
+                # == wrap_pi(-arg) for x>0, wrap_pi(pi-arg) for x<0,
+                # 0 for x==0.
+                s = jnp.sign(xk)
+                error_d = (s * s) * _wrap_pi(-arg + (_PI * 0.5) * (1.0 - s))
+                integ = integ + ki * error_d
+                phase = jnp.mod(phase + kp * error_d + integ, _FOUR_PI)
+                theta = jnp.mod(theta + dtheta, _FOUR_PI)
+                arg = theta + phase
+                rows.append(arg)
+            arg_ref[pl.ds(base, 8), s0:s1] = jnp.stack(rows)
+            out.append((integ, phase, arg, theta))
+        return tuple(out)
 
-    integ, phase, arg, theta = jax.lax.fori_loop(0, chunk // 8, body, c0)
+    cs = jax.lax.fori_loop(0, chunk // 8, body, c0)
 
-    carry[0, :] = integ
-    carry[1, :] = phase
-    carry[2, :] = arg
-    carry[4, :] = theta
+    for gi, (s0, s1, *_unused) in enumerate(groups):
+        integ, phase, arg, theta = cs[gi]
+        carry[0, s0:s1] = integ
+        carry[1, s0:s1] = phase
+        carry[2, s0:s1] = arg
+        carry[4, s0:s1] = theta
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
@@ -142,14 +162,39 @@ def pll_pallas(
     # differently-configured loop instances into one kernel
     np_t = np.float32 if dtype == jnp.float32 else np.float64
 
-    def lane_const(v):
+    def lane_np(v):
         arr = np.broadcast_to(np.asarray(v, np_t), batch_shape)
-        return jnp.asarray(arr.reshape(c_real), dtype)
+        return np.ascontiguousarray(arr.reshape(c_real), np_t)
 
     nb64 = np.asarray(norm_bandwidth, np.float64)
-    kp_v = lane_const(nb64 * cp)
-    ki_v = lane_const(nb64 * nb64 * ci)
-    dtheta_v = lane_const(2.0 * math.pi * np.asarray(freq, np.float64) / fs)
+    kp_np = lane_np(nb64 * cp)
+    ki_np = lane_np(nb64 * nb64 * ci)
+    dtheta_np = lane_np(2.0 * math.pi * np.asarray(freq, np.float64) / fs)
+    kp_v, ki_v, dtheta_v = (jnp.asarray(a, dtype)
+                            for a in (kp_np, ki_np, dtheta_np))
+
+    def _groups():
+        """Static (lane_start, lane_stop, kp, ki, dtheta) spans.
+
+        Compiled scalar constants beat per-lane vectors in the loop, so we
+        look for contiguous 128-aligned lane spans within which all three
+        constants are uniform: one full-width group for a single-config
+        call; one group per leading-batch entry for the receiver's fused
+        stereo-pilot + RDS-carrier call (configs stacked at axis 0).
+        Otherwise fall back to vector constants from carry rows 5/6/7.
+        """
+        # Multi-group (per-config lane spans with per-group scalars) was
+        # measured SLOWER than the vector fallback on v5e — Mosaic inserts
+        # relayouts for the lane-sliced sub-vectors — so only the
+        # trivial full-width case compiles scalars.  Padding lanes (x==0
+        # there -> zero detector error) are harmless either way.
+        uniform = all(np.ptp(a) == 0 for a in (kp_np, ki_np, dtheta_np))
+        if uniform:
+            return ((0, c, float(kp_np[0]), float(ki_np[0]),
+                     float(dtheta_np[0])),)
+        return ((0, c, None, None, None),)
+
+    groups = _groups()
 
     def pack(st: PLLState):
         # row 2 carries the feedback trig argument recovered from
@@ -166,7 +211,7 @@ def pll_pallas(
 
     s_in = pack(state)
 
-    kern = partial(_kernel, chunk=chunk)
+    kern = partial(_kernel, chunk=chunk, groups=groups)
 
     grid = (n // chunk,)
     args_t, s_out = pl.pallas_call(

@@ -113,9 +113,11 @@ def make_time_sharded_receiver(
                                          r.extract_hi, r.taps)
         squared_h = coeffs.bandpass_taps(cfg.rf.if_fs, r.squared_lo,
                                          r.squared_hi, r.taps)
-        rds_lpf_h = coeffs.lowpass_taps(cfg.rf.if_fs, r.lpf_fc, r.taps)
-        anti_h = coeffs.lowpass_taps(cfg.rf.if_fs * r.up, r.rrc_fs / 2,
-                                     r.anti_img_taps)
+        # 3 kHz LPF composed into the x19 anti-image filter (one polyphase
+        # pass — same filter the serial receiver uses, pipeline/rds.py)
+        from rtsdr_tpu.pipeline.rds import composed_resampler_taps
+        comb_h = composed_resampler_taps(cfg)
+        comb_taps = (r.taps - 1) * r.up + r.anti_img_taps
         rrc_h = coeffs.rrc_taps(r.rrc_fs, r.rrc_taps, r.rrc_beta,
                                 r.symbol_rate)
         frame_fn = None
@@ -245,18 +247,16 @@ def make_time_sharded_receiver(
                 norm_bandwidth=rp.norm_bandwidth, impl=pll_impl)
             mixed_rds = 2.0 * extract[..., None, :] * jnp.stack(
                 [nco_i, nco_q], axis=-2)
-            lpf, lpf_zi = halo_fir(fir_block, mixed_rds, rds_lpf_h,
-                                   state.rds.lpf_zi)
-            lpf_u_tail = _upsampled_tail(lpf, cfg.rds.anti_img_taps - 1,
+            mix_u_tail = _upsampled_tail(mixed_rds, comb_taps - 1,
                                          cfg.rds.up)
-            resamp, resamp_zi = halo_fir(fir_resample, lpf, anti_h,
+            resamp, resamp_zi = halo_fir(fir_resample, mixed_rds, comb_h,
                                          state.rds.resamp_zi, cfg.rds.up,
-                                         cfg.rds.down, tail=lpf_u_tail)
+                                         cfg.rds.down, tail=mix_u_tail)
             rrc, rrc_zi = halo_fir(fir_block, resamp, rrc_h,
                                    state.rds.rrc_zi)
             rds_state = RDSState(
                 extract_zi=extract_zi, squared_zi=squared_zi, pll=rds_pll,
-                lpf_zi=lpf_zi, resamp_zi=resamp_zi, rrc_zi=rrc_zi)
+                resamp_zi=resamp_zi, rrc_zi=rrc_zi)
 
             if enable_frame:
                 # gather the tiny 57 kS/s stream; bit layer runs replicated

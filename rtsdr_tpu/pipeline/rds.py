@@ -32,20 +32,49 @@ class RDSState(NamedTuple):
     extract_zi: jax.Array   # (..., taps-1)
     squared_zi: jax.Array   # (..., taps-1)
     pll: PLLState
-    lpf_zi: jax.Array       # (..., 2, taps-1) I/Q stacked
-    resamp_zi: jax.Array    # (..., 2, anti_img_taps-1) upsampled domain
+    resamp_zi: jax.Array    # (..., 2, comb_taps-1) upsampled domain: the
+    #                         3 kHz LPF is composed into the resampler's
+    #                         anti-image filter (see composed_resampler_taps)
     rrc_zi: jax.Array       # (..., 2, rrc_taps-1)
+
+
+def composed_resampler_taps(cfg: ReceiverConfig):
+    """The 3 kHz LPF (IF rate) cascaded into the x19 anti-image filter.
+
+    The reference runs LPF then resample as separate passes
+    (model/fmRDSblock.py:180-199).  Upsampling commutes with convolution,
+    so zero-stuffing the LPF response to the dilated rate and convolving
+    with the anti-image response gives ONE filter whose x-domain polyphase
+    matmul does both: ~158 effective taps per output instead of 151 — the
+    entire IF-rate LPF pass (the widest buffer in the RDS chain) vanishes
+    for ~1.4x the resampler's (much smaller) cost.  Exact: linear filters
+    compose; coefficients are combined in float64.
+    """
+    import numpy as np
+
+    from rtsdr_tpu.ops import coeffs
+
+    r = cfg.rds
+    if_fs = cfg.rf.if_fs
+    lpf_h = np.asarray(coeffs.lowpass_taps(if_fs, r.lpf_fc, r.taps),
+                       np.float64)
+    anti_h = np.asarray(
+        coeffs.lowpass_taps(if_fs * r.up, r.rrc_fs / 2, r.anti_img_taps),
+        np.float64)
+    lpf_u = np.zeros((r.taps - 1) * r.up + 1)
+    lpf_u[::r.up] = lpf_h
+    return np.convolve(lpf_u, anti_h)  # (taps-1)*up + anti_img_taps long
 
 
 def rds_init(cfg: ReceiverConfig, batch_shape: tuple = (),
              dtype=jnp.float32) -> RDSState:
     r = cfg.rds
+    comb_taps = (r.taps - 1) * r.up + r.anti_img_taps
     return RDSState(
         extract_zi=fir_zi(r.taps, batch_shape, dtype),
         squared_zi=fir_zi(r.taps, batch_shape, dtype),
         pll=pll_init(batch_shape, dtype),
-        lpf_zi=fir_zi(r.taps, (*batch_shape, 2), dtype),
-        resamp_zi=resample_zi(r.anti_img_taps, (*batch_shape, 2), dtype),
+        resamp_zi=resample_zi(comb_taps, (*batch_shape, 2), dtype),
         rrc_zi=fir_zi(r.rrc_taps, (*batch_shape, 2), dtype),
     )
 
@@ -59,10 +88,9 @@ def make_rds(cfg: ReceiverConfig, pll_impl: str = "auto"):
     if_fs = cfg.rf.if_fs
     extract_h = coeffs.bandpass_taps(if_fs, r.extract_lo, r.extract_hi, r.taps)
     squared_h = coeffs.bandpass_taps(if_fs, r.squared_lo, r.squared_hi, r.taps)
-    lpf_h = coeffs.lowpass_taps(if_fs, r.lpf_fc, r.taps)
-    # anti-image LPF at the dilated rate; cutoff 57k/2 = 28.5 kHz
-    # (model/fmRDSblock.py:105)
-    anti_h = coeffs.lowpass_taps(if_fs * r.up, r.rrc_fs / 2, r.anti_img_taps)
+    # 3 kHz LPF composed into the x19 anti-image filter: one polyphase
+    # matmul does both passes (see composed_resampler_taps)
+    comb_h = composed_resampler_taps(cfg)
     rrc_h = coeffs.rrc_taps(r.rrc_fs, r.rrc_taps, r.rrc_beta, r.symbol_rate)
     pcfg = r.pll
 
@@ -88,16 +116,16 @@ def make_rds(cfg: ReceiverConfig, pll_impl: str = "auto"):
                 nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
                 norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl)
 
-        # I/Q mixers, stacked so every later filter runs once
+        # I/Q mixers, stacked so every later filter runs once; LPF +
+        # anti-image + decimation all inside one composed polyphase matmul
         mixed = 2.0 * extract[..., None, :] * jnp.stack([nco_i, nco_q], axis=-2)
-        lpf, lpf_zi = fir_block(mixed, lpf_h, state.lpf_zi)
-        resamp, resamp_zi = fir_resample(lpf, anti_h, state.resamp_zi,
+        resamp, resamp_zi = fir_resample(mixed, comb_h, state.resamp_zi,
                                          r.up, r.down)
         rrc, rrc_zi = fir_block(resamp, rrc_h, state.rrc_zi)
 
         new_state = RDSState(
             extract_zi=extract_zi, squared_zi=squared_zi, pll=pll_state,
-            lpf_zi=lpf_zi, resamp_zi=resamp_zi, rrc_zi=rrc_zi)
+            resamp_zi=resamp_zi, rrc_zi=rrc_zi)
         return (rrc[..., 0, :], rrc[..., 1, :]), new_state
 
     return rds

@@ -119,10 +119,17 @@ def make_receiver(
             squared_h = coeffs.bandpass_taps(if_fs, cfg.rds.squared_lo,
                                              cfg.rds.squared_hi, cfg.rds.taps)
             sp, rp = cfg.stereo.pll, cfg.rds.pll
-            pll_freqs = _np.array([sp.freq, rp.freq])
-            pll_bws = _np.array([sp.norm_bandwidth, rp.norm_bandwidth])
-            pll_scales = _np.array([sp.nco_scale, rp.nco_scale])
-            pll_adjusts = _np.array([sp.phase_adjust, rp.phase_adjust])
+            # config axis leads (shape (2, 1, ..., 1)) so the Pallas
+            # kernel's flattened lanes keep each config contiguous — it
+            # then compiles per-config scalar loop constants instead of
+            # per-lane vectors (ops/pallas_pll.py groups)
+            _b1 = (2,) + (1,) * len(batch_shape)
+            pll_freqs = _np.array([sp.freq, rp.freq]).reshape(_b1)
+            pll_bws = _np.array(
+                [sp.norm_bandwidth, rp.norm_bandwidth]).reshape(_b1)
+            pll_scales = _np.array([sp.nco_scale, rp.nco_scale]).reshape(_b1)
+            pll_adjusts = _np.array(
+                [sp.phase_adjust, rp.phase_adjust]).reshape(_b1)
     frame_fn = None
     if enable_rds and enable_frame:
         frame_fn = make_frame(cfg, offset_mode=offset_mode,
@@ -162,17 +169,16 @@ def make_receiver(
             if fuse_pll:
                 pre_pll, squared_zi = fir_block(extract * extract, squared_h,
                                                 state.rds.squared_zi)
-                pair = jnp.stack([pilot, pre_pll], axis=-2)
-                st2 = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=-1),
+                pair = jnp.stack([pilot, pre_pll], axis=0)
+                st2 = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=0),
                                    state.audio.pll, state.rds.pll)
                 nco_i2, nco_q2, st2 = pll(
                     pair, st2, freq=pll_freqs, fs=cfg.rf.if_fs,
                     nco_scale=pll_scales, phase_adjust=pll_adjusts,
                     norm_bandwidth=pll_bws, impl=pll_impl)
-                audio_nco = (nco_i2[..., 0, :],
-                             jax.tree.map(lambda v: v[..., 0], st2))
-                rds_nco = (nco_i2[..., 1, :], nco_q2[..., 1, :],
-                           jax.tree.map(lambda v: v[..., 1], st2),
+                audio_nco = (nco_i2[0], jax.tree.map(lambda v: v[0], st2))
+                rds_nco = (nco_i2[1], nco_q2[1],
+                           jax.tree.map(lambda v: v[1], st2),
                            squared_zi)
         (left, right, mono), au_state = audio(state.audio, fm,
                                               pilot=pilot, chan=chan,

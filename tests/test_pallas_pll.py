@@ -54,6 +54,39 @@ def test_pallas_chunking_and_state_chain():
                                atol=5e-5)
 
 
+def test_fused_wide_batch_matches_scan():
+    """(2, 128) lanes with per-config-uniform params — the receiver's
+    fused stereo-pilot + RDS-carrier layout — must match scan."""
+    import math
+
+    n = 1920
+    c = 128
+    t = np.arange(n) / 240e3
+    rows = [np.cos(2 * np.pi * 19e3 * t + 0.1 * k) for k in range(c)]
+    rows += [np.cos(2 * np.pi * 114e3 * t + 0.1 * k) for k in range(c)]
+    x = jnp.asarray(np.stack(rows).reshape(2, c, n), jnp.float32)
+
+    shape = (2, 1)
+    freqs = np.array([19e3, 114e3]).reshape(shape)
+    bws = np.array([0.01, 0.001]).reshape(shape)
+    scales = np.array([2.0, 0.5]).reshape(shape)
+    adjusts = np.array([0.0, math.pi / 3.3 - math.pi / 1.5]).reshape(shape)
+
+    ref_i, ref_q, ref_st = pll(
+        x, pll_init((2, c), jnp.float32), freq=freqs, fs=240e3,
+        nco_scale=scales, phase_adjust=adjusts, norm_bandwidth=bws)
+    our_i, our_q, our_st = pll_pallas(
+        x, pll_init((2, c), jnp.float32), freq=freqs, fs=240e3,
+        nco_scale=scales, phase_adjust=adjusts, norm_bandwidth=bws,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(our_i), np.asarray(ref_i),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(our_q), np.asarray(ref_q),
+                               atol=2e-5)
+    for a, b in zip(our_st, ref_st):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_fused_two_config_matches_separate():
     """One call with per-lane loop constants (stereo pilot + RDS carrier
     fused as batch rows) must equal two separately-configured calls —

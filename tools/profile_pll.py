@@ -31,10 +31,33 @@ from rtsdr_tpu.ops.pallas_pll import pll_pallas  # noqa: E402
 from rtsdr_tpu.ops.pll import pll_init  # noqa: E402
 
 
+def _time(step, init_state, x, n):
+    def run(k):
+        st = jax.tree.map(lambda v: jnp.array(v, copy=True), init_state)
+        jax.block_until_ready(st)
+        xi = x
+        t0 = time.perf_counter()
+        for _ in range(k):
+            nco, st = step(xi, st)
+            xi = nco  # serialize: next input depends on prior output
+        float(jnp.sum(nco[..., :1]))
+        return time.perf_counter() - t0
+
+    run(3)
+    run(13)
+    t1 = min(run(3) for _ in range(3))
+    t2 = min(run(13) for _ in range(3))
+    dt = (t2 - t1) / 10
+    return {"ms_per_call": round(dt * 1e3, 4),
+            "ns_per_step": round(dt / n * 1e9, 2)}
+
+
 def main():
     n = 15360
     rng = np.random.default_rng(0)
-    for c in (128, 256, 512, 1024):
+
+    # scalar-constant kernel at various lane counts
+    for c in (256, 512, 1024):
         x = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
 
         @jax.jit
@@ -43,24 +66,33 @@ def main():
                                        nco_scale=2.0)
             return nco_i, st2
 
-        def run(k):
-            st = pll_init((c,), jnp.float32)
-            jax.block_until_ready(st)
-            t0 = time.perf_counter()
-            xi = x
-            for _ in range(k):
-                nco, st = step(xi, st)
-                xi = nco  # serialize: next input depends on prior output
-            float(jnp.sum(nco[..., :1]))
-            return time.perf_counter() - t0
+        rec = _time(step, pll_init((c,), jnp.float32), x, n)
+        print(json.dumps({"mode": "scalar", "channels": c, **rec}),
+              flush=True)
 
-        run(3)
-        run(13)
-        t1 = min(run(3) for _ in range(2))
-        t2 = min(run(13) for _ in range(2))
-        dt = (t2 - t1) / 10
-        print(json.dumps({"channels": c, "ms_per_call": round(dt * 1e3, 4),
-                          "ns_per_step": round(dt / n * 1e9, 2)}), flush=True)
+    # fused two-config call at (2, C) lanes: uniform-per-config params
+    # compile to per-group scalars ("fused_groups"); per-channel varying
+    # params force the vector-constant fallback ("fused_vector")
+    for c in (256, 512):
+        x = jnp.asarray(rng.standard_normal((2, c, n)).astype(np.float32))
+        for mode, freqs in (
+                ("fused_groups", np.array([19e3, 114e3])[:, None]),
+                ("fused_vector",
+                 np.array([19e3, 114e3])[:, None]
+                 + np.linspace(0, 1, c)[None, :])):
+            bws = np.array([0.01, 0.001])[:, None]
+            scales = np.array([2.0, 0.5])[:, None]
+
+            @jax.jit
+            def step(xi, st):
+                nco_i, _, st2 = pll_pallas(xi, st, freq=freqs, fs=240e3,
+                                           nco_scale=scales,
+                                           norm_bandwidth=bws)
+                return nco_i, st2
+
+            rec = _time(step, pll_init((2, c), jnp.float32), x, n)
+            print(json.dumps({"mode": mode, "channels": 2 * c, **rec}),
+                  flush=True)
 
 
 if __name__ == "__main__":
