@@ -1,7 +1,7 @@
 """Pallas TPU kernel for the PLL/NCO recurrence.
 
 The PLL is the full chain's bottleneck: a strictly sequential per-sample
-loop (SURVEY.md §7 hard part #1).  Two structural observations make it
+loop (SURVEY.md §7 hard part #1).  Three structural observations make it
 fast without changing the math:
 
 1. **The phase detector needs no atan2.**  Its input is
@@ -10,17 +10,37 @@ fast without changing the math:
    ``wrap_pi(pi-a)`` for x<0, and 0 for x==0 — a select plus a wrap.
 
 2. **No transcendental is inside the loop at all.**  With (1), the
-   recurrence over (integrator, phase, arg, theta) is pure add/mul/select/
-   mod; the NCO outputs ``cos/sin(arg*scale + adjust)`` depend on the arg
-   *sequence* but never feed back.  The kernel therefore emits the arg
-   sequence with ~12 cheap VPU ops per step, and the cos/sin run afterwards
-   as one fully-vectorized batched pass that XLA fuses.
+   recurrence is pure add/mul/mod; the NCO outputs
+   ``cos/sin(arg*scale + adjust)`` depend on the arg *sequence* but never
+   feed back, so they run afterwards as one batched pass XLA fuses.
 
-Layout: x transposed to (N, C) with channels in the lane dimension; the
-loop walks 8 time-steps per iteration (one aligned (8, C) load/store, eight
-register-resident sub-steps); the grid walks N in VMEM-sized chunks with
-Pallas double-buffering the DMA.  Numerically equivalent to ``ops.pll.pll``
-(same update order, same mod-4pi wrapping; float32).
+3. **Only (integrator, phase) actually recur.**  The NCO ramp
+   ``theta_j = theta0 + (j+1)*dtheta mod 4pi`` is an affine sequence —
+   precomputed outside from a per-config host table (float64 products, so
+   no catastrophic j*dtheta rounding) — and the detector's input-sign
+   offset is data-parallel.  Both fold into one precomputed stream
+   ``w_j = (pi/2)(1-sign x_j) - theta_{j-1}`` plus a zero-input mask
+   ``m_j``, leaving a 2-row recurrence
+   ``e = m*wrap_pi(w - phase); integ += ki*e;
+   phase = (phase + kp*e + integ) mod 4pi``
+   of ~11 VPU ops per step (measured throughput-bound, so op count is
+   time), with the emitted phase sequence rebuilt into NCO arguments
+   outside (``arg_j = theta_j + phase_j``).
+
+Layout: streams transposed to (N, C) with channels in the lane dimension;
+the loop walks 8 time-steps per iteration (one aligned (8, C) load/store,
+eight register-resident sub-steps); the grid walks N in VMEM-sized chunks
+with Pallas double-buffering the DMA.  Numerically equivalent to
+``ops.pll.pll`` (same update order, same mod-4pi wrapping; float32 — the
+theta table only re-associates the NCO ramp's rounding, bounded by the
+loop's own feedback).
+
+Per-lane loop constants: ``kp``/``ki`` compile to scalars when uniform,
+else ride as carry-row vectors; ``dtheta`` must be uniform over contiguous
+lane spans (true for every production call — single config, or the
+receiver's axis-0-stacked stereo-pilot + RDS-carrier pair).  Calls with
+many distinct ``dtheta`` values (e.g. per-channel carrier offsets) take
+the legacy in-loop-theta kernel instead.
 """
 
 from __future__ import annotations
@@ -40,6 +60,7 @@ _FOUR_PI = 4.0 * math.pi
 _PI = math.pi
 _TWO_PI = 2.0 * math.pi
 _LANES = 128
+_MAX_SPANS = 32  # v2 eligibility: distinct-dtheta lane spans
 
 
 def _wrap_pi(z):
@@ -47,70 +68,101 @@ def _wrap_pi(z):
     return z - _TWO_PI * jnp.round(z * (1.0 / _TWO_PI))
 
 
-def _kernel(x_ref, s_ref, arg_ref, s_out_ref, carry, *, chunk, groups):
+def _kernel(w_ref, m_ref, s_ref, ph_ref, s_out_ref, carry, *, chunk,
+            kp, ki):
+    """2-row recurrence over the precomputed detector stream.
+
+    carry rows: 0 integrator, 1 phase; rows 2/3 hold per-lane kp/ki when
+    they vary (``kp is None``), otherwise kp/ki are compiled-in scalars.
+    """
     @pl.when(pl.program_id(0) == 0)
     def _():
         carry[:] = s_ref[:]
 
-    # carry rows: 0 integ, 1 phase, 2 arg (feedback trig argument), 4 theta.
-    # ``groups`` is a static tuple of (lane_start, lane_stop, kp, ki,
-    # dtheta): each group is a contiguous 128-aligned lane span whose loop
-    # constants are compiled-in python scalars (cheapest — no extra live
-    # vectors in the loop).  A single-config call is one full-width group;
-    # a fused multi-config call (stereo pilot + RDS carrier as extra lanes)
-    # is one group per config.  When constants genuinely vary per lane,
-    # kp is None and they ride in carry rows 5/6/7 as vectors instead
-    # (measurably slower at high lane counts: register pressure).
-    c0 = []
-    consts = []
-    for (s0, s1, kp, ki, dtheta) in groups:
-        c0.append((carry[0, s0:s1], carry[1, s0:s1], carry[2, s0:s1],
-                   carry[4, s0:s1]))
-        if kp is None:
-            consts.append((carry[5, s0:s1], carry[6, s0:s1],
-                           carry[7, s0:s1]))
-        else:
-            consts.append((kp, ki, dtheta))
-    c0 = tuple(c0)
+    integ0, phase0 = carry[0, :], carry[1, :]
+    if kp is None:
+        kp = carry[2, :]
+        ki = carry[3, :]
 
-    def body(j, cs):
+    def body(j, c):
+        integ, phase = c
         base = pl.multiple_of(j * 8, 8)
-        out = []
-        for gi, (s0, s1, *_unused) in enumerate(groups):
-            kp, ki, dtheta = consts[gi]
-            integ, phase, arg, theta = cs[gi]
-            xb = x_ref[pl.ds(base, 8), s0:s1]
-            rows = []
-            for r in range(8):
-                xk = xb[r, :]
-                # select-free detector (jnp.where on 1-D vectors is
-                # pathological in Mosaic): s=sign(x);
-                # error = s^2 * wrap_pi(-arg + pi*(1-s)/2)
-                # == wrap_pi(-arg) for x>0, wrap_pi(pi-arg) for x<0,
-                # 0 for x==0.
-                s = jnp.sign(xk)
-                error_d = (s * s) * _wrap_pi(-arg + (_PI * 0.5) * (1.0 - s))
-                integ = integ + ki * error_d
-                phase = jnp.mod(phase + kp * error_d + integ, _FOUR_PI)
-                theta = jnp.mod(theta + dtheta, _FOUR_PI)
-                arg = theta + phase
-                rows.append(arg)
-            arg_ref[pl.ds(base, 8), s0:s1] = jnp.stack(rows)
-            out.append((integ, phase, arg, theta))
-        return tuple(out)
+        wb = w_ref[pl.ds(base, 8), :]
+        mb = m_ref[pl.ds(base, 8), :]
+        rows = []
+        for r in range(8):
+            e = mb[r, :] * _wrap_pi(wb[r, :] - phase)
+            integ = integ + ki * e
+            phase = jnp.mod(phase + kp * e + integ, _FOUR_PI)
+            rows.append(phase)
+        ph_ref[pl.ds(base, 8), :] = jnp.stack(rows)
+        return (integ, phase)
 
-    cs = jax.lax.fori_loop(0, chunk // 8, body, c0)
+    integ, phase = jax.lax.fori_loop(0, chunk // 8, body, (integ0, phase0))
 
-    for gi, (s0, s1, *_unused) in enumerate(groups):
-        integ, phase, arg, theta = cs[gi]
-        carry[0, s0:s1] = integ
-        carry[1, s0:s1] = phase
-        carry[2, s0:s1] = arg
-        carry[4, s0:s1] = theta
+    carry[0, :] = integ
+    carry[1, :] = phase
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
         s_out_ref[:] = carry[:]
+
+
+def _kernel_theta(x_ref, s_ref, arg_ref, s_out_ref, carry, *, chunk):
+    """Legacy kernel with theta in the loop (arbitrary per-lane dtheta).
+
+    carry rows: 0 integ, 1 phase, 2 arg (feedback trig argument), 4 theta;
+    rows 5/6/7 hold the per-lane loop constants kp/ki/dtheta.
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry[:] = s_ref[:]
+
+    c0 = (carry[0, :], carry[1, :], carry[2, :], carry[4, :])
+    kp = carry[5, :]
+    ki = carry[6, :]
+    dtheta = carry[7, :]
+
+    def body(j, c):
+        integ, phase, arg, theta = c
+        base = pl.multiple_of(j * 8, 8)
+        xb = x_ref[pl.ds(base, 8), :]
+        rows = []
+        for r in range(8):
+            xk = xb[r, :]
+            # select-free detector (jnp.where on 1-D vectors is pathological
+            # in Mosaic): s=sign(x); error = s^2 * wrap_pi(-arg + pi*(1-s)/2)
+            s = jnp.sign(xk)
+            error_d = (s * s) * _wrap_pi(-arg + (_PI * 0.5) * (1.0 - s))
+            integ = integ + ki * error_d
+            phase = jnp.mod(phase + kp * error_d + integ, _FOUR_PI)
+            theta = jnp.mod(theta + dtheta, _FOUR_PI)
+            arg = theta + phase
+            rows.append(arg)
+        arg_ref[pl.ds(base, 8), :] = jnp.stack(rows)
+        return (integ, phase, arg, theta)
+
+    integ, phase, arg, theta = jax.lax.fori_loop(0, chunk // 8, body, c0)
+
+    carry[0, :] = integ
+    carry[1, :] = phase
+    carry[2, :] = arg
+    carry[4, :] = theta
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        s_out_ref[:] = carry[:]
+
+
+def _dtheta_spans(dtheta_np):
+    """Contiguous lane spans of uniform dtheta: [(start, stop, value)]."""
+    spans = []
+    start = 0
+    for i in range(1, len(dtheta_np) + 1):
+        if i == len(dtheta_np) or dtheta_np[i] != dtheta_np[start]:
+            spans.append((start, i, float(dtheta_np[start])))
+            start = i
+    return spans
 
 
 def pll_pallas(
@@ -141,7 +193,7 @@ def pll_pallas(
         c_real *= d
     c = max(_LANES, -(-c_real // _LANES) * _LANES)
 
-    # VMEM budget: 2 (chunk, C) buffers, double-buffered by the pipeline.
+    # VMEM budget: 2 (chunk, C) streams + phases, double-buffered.
     vmem_rows = max(8, (1024 * 1024) // (4 * c) // 8 * 8)
     chunk = min(chunk, vmem_rows)
     if n % chunk != 0 or chunk % 8 != 0:
@@ -169,54 +221,152 @@ def pll_pallas(
     nb64 = np.asarray(norm_bandwidth, np.float64)
     kp_np = lane_np(nb64 * cp)
     ki_np = lane_np(nb64 * nb64 * ci)
-    dtheta_np = lane_np(2.0 * math.pi * np.asarray(freq, np.float64) / fs)
+    dtheta64 = np.broadcast_to(
+        2.0 * np.pi * np.asarray(freq, np.float64) / fs,
+        batch_shape).reshape(c_real)
+    spans = _dtheta_spans(dtheta64)
+
+    kern_args = None
+    if len(spans) <= _MAX_SPANS:
+        kern_args = _call_v2(xt, state, kp_np, ki_np, spans, n, c, c_real,
+                             chunk, dtype, batch_shape, interpret)
+    else:
+        kern_args = _call_theta(xt, state, kp_np, ki_np,
+                                dtheta64.astype(np_t), n, c, c_real, chunk,
+                                dtype, batch_shape, interpret)
+    args_t, unpack = kern_args
+
+    # batched NCO synthesis — the transcendentals, fully vectorized;
+    # nco_scale / phase_adjust broadcast per lane like the loop constants
+    args = args_t[:, :c_real].T.reshape(*batch_shape, n)
+    scale_v = jnp.asarray(
+        np.broadcast_to(np.asarray(nco_scale, np_t), batch_shape), dtype)
+    adjust_v = jnp.asarray(
+        np.broadcast_to(np.asarray(phase_adjust, np_t), batch_shape), dtype)
+    nco_arg = args * scale_v[..., None] + adjust_v[..., None]
+    nco_i_new = jnp.cos(nco_arg)
+    nco_q_new = jnp.sin(nco_arg)
+
+    integ_end, phase_end, arg_end, theta_end = unpack()
+    new_state = PLLState(
+        integrator=integ_end, phase_est=phase_end,
+        fb_i=jnp.cos(arg_end), fb_q=jnp.sin(arg_end),
+        nco_i=nco_i_new[..., -1], nco_q=nco_q_new[..., -1],
+        theta=theta_end)
+
+    if delay_output:
+        nco_i = jnp.concatenate([state.nco_i[..., None], nco_i_new[..., :-1]],
+                                axis=-1)
+        nco_q = jnp.concatenate([state.nco_q[..., None], nco_q_new[..., :-1]],
+                                axis=-1)
+    else:
+        nco_i, nco_q = nco_i_new, nco_q_new
+    return nco_i, nco_q, new_state
+
+
+def _call_v2(xt, state, kp_np, ki_np, spans, n, c, c_real, chunk, dtype,
+             batch_shape, interpret):
+    """Precomputed-stream kernel: returns ((N, C) args, unpack_state)."""
+    # theta ramp per span from a float64 host table (values < 4pi, so the
+    # in-graph add+mod is exact to one ulp — no j*dtheta blow-up)
+    j1 = np.arange(1, n + 1, dtype=np.float64)
+    theta0 = state.theta.reshape(c_real).astype(dtype)
+    cols = []
+    for (s0, s1, dth) in spans:
+        table = jnp.asarray(np.mod(j1 * dth, 4.0 * np.pi), dtype)
+        cols.append(jnp.mod(theta0[s0:s1][None, :] + table[:, None],
+                            _FOUR_PI))
+    theta_seq = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+    if c != c_real:
+        theta_seq = jnp.pad(theta_seq, ((0, 0), (0, c - c_real)))
+
+    # detector stream: w_j = (pi/2)(1 - sign x_j) - theta_{j-1}; the j=0
+    # row folds the carried feedback argument arg0 in place of
+    # theta_{-1} + phase0 (e_0 = m*wrap_pi(-arg0 + off_0))
+    s = jnp.sign(xt)
+    m = s * s
+    off = (_PI * 0.5) * (1.0 - s)
+    arg0 = jnp.arctan2(state.fb_q, state.fb_i).reshape(c_real).astype(dtype)
+    phase0 = state.phase_est.reshape(c_real).astype(dtype)
+    th_prev0 = arg0 - phase0
+    if c != c_real:
+        th_prev0 = jnp.pad(th_prev0, (0, c - c_real))
+    theta_prev = jnp.concatenate([th_prev0[None, :], theta_seq[:-1, :]],
+                                 axis=0)
+    w = off - theta_prev
+
+    uniform = np.ptp(kp_np) == 0 and np.ptp(ki_np) == 0
+    kp = float(kp_np[0]) if uniform else None
+    ki = float(ki_np[0]) if uniform else None
+
+    def pad_row(a):
+        r = jnp.asarray(a, dtype)
+        return jnp.pad(r, (0, c - c_real)) if c != c_real else r
+
+    integ0 = state.integrator.reshape(c_real).astype(dtype)
+    rows = [pad_row(integ0), pad_row(phase0), pad_row(kp_np),
+            pad_row(ki_np)]
+    s_in = jnp.concatenate(
+        [jnp.stack(rows), jnp.zeros((4, c), dtype)], axis=0)
+
+    kern = partial(_kernel, chunk=chunk, kp=kp, ki=ki)
+    phases, s_out = pl.pallas_call(
+        kern,
+        grid=(n // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), dtype),
+            jax.ShapeDtypeStruct((8, c), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, c), dtype)],
+        interpret=interpret,
+    )(w, m, s_in)
+
+    args_t = theta_seq + phases
+
+    def unpack():
+        integ_end = s_out[0, :c_real].reshape(batch_shape)
+        phase_end = s_out[1, :c_real].reshape(batch_shape)
+        theta_end = theta_seq[-1, :c_real].reshape(batch_shape)
+        arg_end = theta_end + phase_end
+        return integ_end, phase_end, arg_end, theta_end
+
+    return args_t, unpack
+
+
+def _call_theta(xt, state, kp_np, ki_np, dtheta_np, n, c, c_real, chunk,
+                dtype, batch_shape, interpret):
+    """Legacy in-loop-theta kernel for arbitrary per-lane dtheta."""
     kp_v, ki_v, dtheta_v = (jnp.asarray(a, dtype)
                             for a in (kp_np, ki_np, dtheta_np))
 
-    def _groups():
-        """Static (lane_start, lane_stop, kp, ki, dtheta) spans.
+    # row 2 carries the feedback trig argument recovered from
+    # (fb_i, fb_q); any 2*pi ambiguity is harmless (wrapped detector)
+    arg0 = jnp.arctan2(state.fb_q, state.fb_i)
+    rows = [state.integrator.reshape(c_real),
+            state.phase_est.reshape(c_real), arg0.reshape(c_real),
+            jnp.zeros(c_real, dtype), state.theta.reshape(c_real),
+            kp_v, ki_v, dtheta_v]
+    s_in = jnp.stack([r.astype(dtype) for r in rows])
+    if c != c_real:
+        s_in = jnp.pad(s_in, ((0, 0), (0, c - c_real)))
+    s_in = s_in.astype(dtype)
 
-        Compiled scalar constants beat per-lane vectors in the loop, so we
-        look for contiguous 128-aligned lane spans within which all three
-        constants are uniform: one full-width group for a single-config
-        call; one group per leading-batch entry for the receiver's fused
-        stereo-pilot + RDS-carrier call (configs stacked at axis 0).
-        Otherwise fall back to vector constants from carry rows 5/6/7.
-        """
-        # Multi-group (per-config lane spans with per-group scalars) was
-        # measured SLOWER than the vector fallback on v5e — Mosaic inserts
-        # relayouts for the lane-sliced sub-vectors — so only the
-        # trivial full-width case compiles scalars.  Padding lanes (x==0
-        # there -> zero detector error) are harmless either way.
-        uniform = all(np.ptp(a) == 0 for a in (kp_np, ki_np, dtheta_np))
-        if uniform:
-            return ((0, c, float(kp_np[0]), float(ki_np[0]),
-                     float(dtheta_np[0])),)
-        return ((0, c, None, None, None),)
-
-    groups = _groups()
-
-    def pack(st: PLLState):
-        # row 2 carries the feedback trig argument recovered from
-        # (fb_i, fb_q); any 2*pi ambiguity is harmless (wrapped detector)
-        arg0 = jnp.arctan2(st.fb_q, st.fb_i)
-        rows = [st.integrator.reshape(c_real),
-                st.phase_est.reshape(c_real), arg0.reshape(c_real),
-                jnp.zeros(c_real, dtype), st.theta.reshape(c_real),
-                kp_v, ki_v, dtheta_v]
-        m = jnp.stack([r.astype(dtype) for r in rows])
-        if c != c_real:
-            m = jnp.pad(m, ((0, 0), (0, c - c_real)))
-        return m.astype(dtype)
-
-    s_in = pack(state)
-
-    kern = partial(_kernel, chunk=chunk, groups=groups)
-
-    grid = (n // chunk,)
+    kern = partial(_kernel_theta, chunk=chunk)
     args_t, s_out = pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(n // chunk,),
         in_specs=[
             pl.BlockSpec((chunk, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -235,32 +385,9 @@ def pll_pallas(
         interpret=interpret,
     )(xt, s_in)
 
-    # batched NCO synthesis — the transcendentals, fully vectorized;
-    # nco_scale / phase_adjust broadcast per lane like the loop constants
-    args = args_t[:, :c_real].T.reshape(*batch_shape, n)
-    scale_v = jnp.asarray(
-        np.broadcast_to(np.asarray(nco_scale, np_t), batch_shape), dtype)
-    adjust_v = jnp.asarray(
-        np.broadcast_to(np.asarray(phase_adjust, np_t), batch_shape), dtype)
-    nco_arg = args * scale_v[..., None] + adjust_v[..., None]
-    nco_i_new = jnp.cos(nco_arg)
-    nco_q_new = jnp.sin(nco_arg)
+    def unpack():
+        def row(i):
+            return s_out[i, :c_real].reshape(batch_shape)
+        return row(0), row(1), row(2), row(4)
 
-    def unpack_row(i):
-        return s_out[i, :c_real].reshape(batch_shape)
-
-    arg_end = unpack_row(2)
-    new_state = PLLState(
-        integrator=unpack_row(0), phase_est=unpack_row(1),
-        fb_i=jnp.cos(arg_end), fb_q=jnp.sin(arg_end),
-        nco_i=nco_i_new[..., -1], nco_q=nco_q_new[..., -1],
-        theta=unpack_row(4))
-
-    if delay_output:
-        nco_i = jnp.concatenate([state.nco_i[..., None], nco_i_new[..., :-1]],
-                                axis=-1)
-        nco_q = jnp.concatenate([state.nco_q[..., None], nco_q_new[..., :-1]],
-                                axis=-1)
-    else:
-        nco_i, nco_q = nco_i_new, nco_q_new
-    return nco_i, nco_q, new_state
+    return args_t, unpack
