@@ -17,30 +17,45 @@ fast without changing the math:
 3. **Only (integrator, phase) actually recur.**  The NCO ramp
    ``theta_j = theta0 + (j+1)*dtheta mod 4pi`` is an affine sequence —
    precomputed outside from a per-config host table (float64 products, so
-   no catastrophic j*dtheta rounding) — and the detector's input-sign
-   offset is data-parallel.  Both fold into one precomputed stream
-   ``w_j = (pi/2)(1-sign x_j) - theta_{j-1}`` plus a zero-input mask
-   ``m_j``, leaving a 2-row recurrence
-   ``e = m*wrap_pi(w - phase); integ += ki*e;
-   phase = (phase + kp*e + integ) mod 4pi``
-   of ~11 VPU ops per step (measured throughput-bound, so op count is
-   time), with the emitted phase sequence rebuilt into NCO arguments
-   outside (``arg_j = theta_j + phase_j``).
+   no catastrophic j*dtheta rounding).  The loop reads the raw input and
+   the theta-prev stream; sign/mask/offset prep is data-parallel and sits
+   OFF the sequential dependency chain, leaving a 2-row recurrence
+   (with ``kq = kp + ki`` folding ``phase += kp*e + integ_new`` into
+   old-integ form)::
+
+       t     = wrap_pi(off - theta_prev - phase)
+       integ += (m*ki) * t
+       phase  = (phase + integ_old) + (m*kq) * t
+
+   whose phase->phase critical path is ~6 dependent VPU ops (the loop is
+   latency-bound, not issue-bound: op count barely matters, chain depth
+   is time).  The per-step ``mod 4pi`` is gone — the carry wraps once per
+   8-step group, and the emitted phase stream is wrapped vectorized
+   outside (exact up to fp re-association: values differ from the
+   per-step-wrapped ones by multiples of 4pi).  NCO arguments rebuild
+   outside as ``arg_j = theta_j + phase_j``.
 
 Layout: streams transposed to (N, C) with channels in the lane dimension;
 the loop walks 8 time-steps per iteration (one aligned (8, C) load/store,
 eight register-resident sub-steps); the grid walks N in VMEM-sized chunks
 with Pallas double-buffering the DMA.  Numerically equivalent to
-``ops.pll.pll`` (same update order, same mod-4pi wrapping; float32 — the
-theta table only re-associates the NCO ramp's rounding, bounded by the
-loop's own feedback).
+``ops.pll.pll`` (same update order, same wrapping semantics; float32).
 
-Per-lane loop constants: ``kp``/``ki`` compile to scalars when uniform,
-else ride as carry-row vectors; ``dtheta`` must be uniform over contiguous
-lane spans (true for every production call — single config, or the
-receiver's axis-0-stacked stereo-pilot + RDS-carrier pair).  Calls with
-many distinct ``dtheta`` values (e.g. per-channel carrier offsets) take
-the legacy in-loop-theta kernel instead.
+Two measured-on-v5e variants of the phase update (Mosaic schedules them
+differently at different lane counts):
+
+* ``v3b`` (lanes <= 512): distributed form ``(pi_pre + b*z) - (2pi*b)*r``
+  — chain ~5; fastest at partial-vreg lane counts (0.68 ms / 512 lanes /
+  15360 steps).
+* ``v3`` (lanes > 512): factored form ``pi_pre + b*t`` with vector
+  constants — 0.96 ms at 1024 lanes (the receiver's fused stereo+RDS
+  pair at 512 channels), vs 4.5 ms for the v2 kernel.
+
+``dtheta`` must be uniform over contiguous lane spans (true for every
+production call — single config, or the receiver's axis-0-stacked
+stereo-pilot + RDS-carrier pair).  Calls with many distinct ``dtheta``
+values (e.g. per-channel carrier offsets) take the legacy in-loop-theta
+kernel instead.
 """
 
 from __future__ import annotations
@@ -59,6 +74,7 @@ from rtsdr_tpu.ops.pll import PLLState
 _FOUR_PI = 4.0 * math.pi
 _PI = math.pi
 _TWO_PI = 2.0 * math.pi
+_INV_TWO_PI = 1.0 / _TWO_PI
 _LANES = 128
 _MAX_SPANS = 32  # v2 eligibility: distinct-dtheta lane spans
 
@@ -68,33 +84,52 @@ def _wrap_pi(z):
     return z - _TWO_PI * jnp.round(z * (1.0 / _TWO_PI))
 
 
-def _kernel(w_ref, m_ref, s_ref, ph_ref, s_out_ref, carry, *, chunk,
-            kp, ki):
-    """2-row recurrence over the precomputed detector stream.
+def _kernel(x_ref, thp_ref, s_ref, ph_ref, s_out_ref, carry, *, chunk,
+            kq, ki, variant):
+    """2-row recurrence; sign/mask/offset prep is off the critical chain.
 
-    carry rows: 0 integrator, 1 phase; rows 2/3 hold per-lane kp/ki when
-    they vary (``kp is None``), otherwise kp/ki are compiled-in scalars.
+    carry rows: 0 integrator, 1 phase; rows 2/3 hold per-lane kq/ki when
+    they vary (``kq is None``), otherwise kq/ki are compiled-in scalars.
+    ``kq = kp + ki`` (the phase update in old-integ form).
     """
     @pl.when(pl.program_id(0) == 0)
     def _():
         carry[:] = s_ref[:]
 
     integ0, phase0 = carry[0, :], carry[1, :]
-    if kp is None:
-        kp = carry[2, :]
-        ki = carry[3, :]
+    if kq is None:
+        kq_v, ki_v = carry[2, :], carry[3, :]
+    else:
+        kq_v, ki_v = kq, ki
 
     def body(j, c):
         integ, phase = c
         base = pl.multiple_of(j * 8, 8)
-        wb = w_ref[pl.ds(base, 8), :]
-        mb = m_ref[pl.ds(base, 8), :]
+        xb = x_ref[pl.ds(base, 8), :]
+        tb = thp_ref[pl.ds(base, 8), :]
         rows = []
         for r in range(8):
-            e = mb[r, :] * _wrap_pi(wb[r, :] - phase)
-            integ = integ + ki * e
-            phase = jnp.mod(phase + kp * e + integ, _FOUR_PI)
+            # prep (independent of phase/integ — hides in latency bubbles):
+            # select-free detector, s=sign(x): m zeroes e at x==0, off adds
+            # pi for x<0 (jnp.where on 1-D vectors is pathological in
+            # Mosaic, so arithmetic masks)
+            s = jnp.sign(xb[r, :])
+            m = s * s
+            w = (_PI * 0.5) * (1.0 - s) - tb[r, :]
+            b = m * kq_v
+            a = m * ki_v
+            pi_pre = phase + integ
+            # critical chain: z -> (round) -> phase'
+            z = w - phase
+            rr = jnp.round(z * _INV_TWO_PI)
+            t = z - _TWO_PI * rr
+            integ = integ + a * t
+            if variant == "v3":
+                phase = pi_pre + b * t
+            else:  # v3b: distributed — one dependent op shorter
+                phase = (pi_pre + b * z) - (_TWO_PI * b) * rr
             rows.append(phase)
+        phase = jnp.mod(phase, _FOUR_PI)  # wrap once per 8-step group
         ph_ref[pl.ds(base, 8), :] = jnp.stack(rows)
         return (integ, phase)
 
@@ -266,7 +301,7 @@ def pll_pallas(
 
 def _call_v2(xt, state, kp_np, ki_np, spans, n, c, c_real, chunk, dtype,
              batch_shape, interpret):
-    """Precomputed-stream kernel: returns ((N, C) args, unpack_state)."""
+    """Precomputed-theta kernel: returns ((N, C) args, unpack_state)."""
     # theta ramp per span from a float64 host table (values < 4pi, so the
     # in-graph add+mod is exact to one ulp — no j*dtheta blow-up)
     j1 = np.arange(1, n + 1, dtype=np.float64)
@@ -280,12 +315,8 @@ def _call_v2(xt, state, kp_np, ki_np, spans, n, c, c_real, chunk, dtype,
     if c != c_real:
         theta_seq = jnp.pad(theta_seq, ((0, 0), (0, c - c_real)))
 
-    # detector stream: w_j = (pi/2)(1 - sign x_j) - theta_{j-1}; the j=0
-    # row folds the carried feedback argument arg0 in place of
-    # theta_{-1} + phase0 (e_0 = m*wrap_pi(-arg0 + off_0))
-    s = jnp.sign(xt)
-    m = s * s
-    off = (_PI * 0.5) * (1.0 - s)
+    # theta-prev stream; the j=0 row folds the carried feedback argument
+    # arg0 in place of theta_{-1} + phase0 (e_0 = m*wrap_pi(-arg0 + off_0))
     arg0 = jnp.arctan2(state.fb_q, state.fb_i).reshape(c_real).astype(dtype)
     phase0 = state.phase_est.reshape(c_real).astype(dtype)
     th_prev0 = arg0 - phase0
@@ -293,23 +324,28 @@ def _call_v2(xt, state, kp_np, ki_np, spans, n, c, c_real, chunk, dtype,
         th_prev0 = jnp.pad(th_prev0, (0, c - c_real))
     theta_prev = jnp.concatenate([th_prev0[None, :], theta_seq[:-1, :]],
                                  axis=0)
-    w = off - theta_prev
 
-    uniform = np.ptp(kp_np) == 0 and np.ptp(ki_np) == 0
-    kp = float(kp_np[0]) if uniform else None
-    ki = float(ki_np[0]) if uniform else None
+    kq_np = kp_np + ki_np
+    uniform = np.ptp(kq_np) == 0 and np.ptp(ki_np) == 0
+    # measured (v5e): scalar constants + distributed update fastest at
+    # partial/full-single-vreg lanes; vector constants + factored update
+    # at wider fused calls (see module docstring)
+    variant = "v3b" if c <= 512 else "v3"
+    use_scalar = uniform and c <= 512
+    kq = float(kq_np[0]) if use_scalar else None
+    ki = float(ki_np[0]) if use_scalar else None
 
     def pad_row(a):
         r = jnp.asarray(a, dtype)
         return jnp.pad(r, (0, c - c_real)) if c != c_real else r
 
     integ0 = state.integrator.reshape(c_real).astype(dtype)
-    rows = [pad_row(integ0), pad_row(phase0), pad_row(kp_np),
+    rows = [pad_row(integ0), pad_row(phase0), pad_row(kq_np),
             pad_row(ki_np)]
     s_in = jnp.concatenate(
         [jnp.stack(rows), jnp.zeros((4, c), dtype)], axis=0)
 
-    kern = partial(_kernel, chunk=chunk, kp=kp, ki=ki)
+    kern = partial(_kernel, chunk=chunk, kq=kq, ki=ki, variant=variant)
     phases, s_out = pl.pallas_call(
         kern,
         grid=(n // chunk,),
@@ -331,9 +367,11 @@ def _call_v2(xt, state, kp_np, ki_np, spans, n, c, c_real, chunk, dtype,
         ],
         scratch_shapes=[pltpu.VMEM((8, c), dtype)],
         interpret=interpret,
-    )(w, m, s_in)
+    )(xt, theta_prev, s_in)
 
-    args_t = theta_seq + phases
+    # the kernel defers the per-step mod to one vectorized pass here
+    # (values differ by exact multiples of 4pi from the per-step form)
+    args_t = theta_seq + jnp.mod(phases, _FOUR_PI)
 
     def unpack():
         integ_end = s_out[0, :c_real].reshape(batch_shape)

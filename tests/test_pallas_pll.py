@@ -52,9 +52,9 @@ def test_pallas_matches_scan(batch):
                                       freq=19e3, fs=240e3, nco_scale=2.0,
                                       interpret=True)
     np.testing.assert_allclose(np.asarray(our_i), np.asarray(ref_i),
-                               atol=2e-5)
+                               atol=5e-5)
     np.testing.assert_allclose(np.asarray(our_q), np.asarray(ref_q),
-                               atol=2e-5)
+                               atol=5e-5)
     _assert_state_close(our_st, ref_st, atol=1e-3)
 
 
@@ -102,9 +102,9 @@ def test_fused_wide_batch_matches_scan():
         nco_scale=scales, phase_adjust=adjusts, norm_bandwidth=bws,
         interpret=True)
     np.testing.assert_allclose(np.asarray(our_i), np.asarray(ref_i),
-                               atol=2e-5)
+                               atol=5e-5)
     np.testing.assert_allclose(np.asarray(our_q), np.asarray(ref_q),
-                               atol=2e-5)
+                               atol=5e-5)
     _assert_state_close(our_st, ref_st, atol=1e-3)
 
 
