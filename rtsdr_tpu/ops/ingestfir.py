@@ -32,17 +32,27 @@ def ingest_fir_decimate(
     zi_q: jax.Array,
     decim: int,
     block: int = 128,
+    halo: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """uint8 (..., 2N) interleaved IQ -> ((..., M) i, (..., M) q, new zis).
 
     Exactly ``fir_decimate(normalize(deinterleave(raw)), h, zi, decim)``
     for both I and Q, M = N/decim.
+
+    ``halo=True``: the first ``2*(taps-1)`` bytes of ``raw_u8`` are a REAL
+    left halo (the preceding chunk's tail) instead of the implicit 128-pad
+    — used by the time-sharded receiver so every output is a pure window
+    dot, bitwise identical to an unsharded run over the concatenated
+    stream (as long as each chunk's output count is a multiple of
+    ``block``, which preserves the banded-matmul grouping).  The zi
+    boundary matmul still applies (pass zeros to no-op it exactly: the
+    ``+0.0`` add is bitwise neutral).
     """
     h = np.asarray(h, np.float64)
     taps = h.shape[0]
     t1 = taps - 1
     stride_raw = 2 * decim
-    n_raw = raw_u8.shape[-1]
+    n_raw = raw_u8.shape[-1] - (2 * t1 if halo else 0)
     n = n_raw // 2
     assert n % decim == 0
     m_total = n // decim
@@ -51,9 +61,11 @@ def ingest_fir_decimate(
     nblk = -(-m_total // block)
     span = (block - 1) * stride_raw + 2 * t1 + 2  # raw samples per window
     # left pad = 2*t1 raw bytes of value 128 (normalizes to 0; the true
-    # carried samples enter via the zi boundary matmul below)
-    pad_left = 2 * t1
-    need_right = (nblk - 1) * block * stride_raw + span - pad_left - n_raw
+    # carried samples enter via the zi boundary matmul below) — unless a
+    # real halo is already prepended
+    pad_left = 0 if halo else 2 * t1
+    need_right = ((nblk - 1) * block * stride_raw + span
+                  - pad_left - raw_u8.shape[-1])
     raw_pad = jnp.pad(raw_u8, [(0, 0)] * (raw_u8.ndim - 1)
                       + [(pad_left, max(0, need_right))],
                       constant_values=128)
@@ -62,7 +74,17 @@ def ingest_fir_decimate(
         [jax.lax.slice_in_dim(raw_pad, s * block * stride_raw,
                               s * block * stride_raw + span, axis=-1)
          for s in range(nblk)], axis=-2)
-    windows = (windows_u8.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
+    # On TPU the windows buffer (the dominant HBM traffic, ~1.1x the raw
+    # stream per step in f32) materializes in bf16: (b - 128) is an
+    # integer in [-128, 127] — exact in bf16 — and the /128 (a power of
+    # two, also exact) folds into the filter matrix.  Numerically
+    # identical to the f32 form under the MXU's default-precision bf16
+    # truncation; half the bytes.
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        windows = windows_u8.astype(jnp.bfloat16) - jnp.bfloat16(128.0)
+    else:
+        windows = (windows_u8.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
 
     # banded H over the raw domain: output i, quadrature phi reads window
     # position s = stride_raw*i + 2*(t1 - k) + phi with tap h[k]
@@ -71,11 +93,14 @@ def ingest_fir_decimate(
     s_even = stride_raw * i_idx + 2 * (t1 - k_idx)
     h_mat = np.zeros((span, 2 * block), np.float32)
     rows = np.broadcast_to(i_idx, s_even.shape)
-    h_b = np.broadcast_to(h, s_even.shape)
+    # bf16(h)/128 == bf16(h/128) (power-of-two scale), so folding the
+    # normalize here keeps the TPU dot bitwise-identical to the f32 form
+    h_fold = h / 128.0 if on_tpu else h
+    h_b = np.broadcast_to(h_fold, s_even.shape)
     h_mat[s_even.ravel(), 2 * rows.ravel()] = h_b.ravel().astype(np.float32)
     h_mat[s_even.ravel() + 1, 2 * rows.ravel() + 1] = \
         h_b.ravel().astype(np.float32)
-    h_mat = jnp.asarray(h_mat)
+    h_mat = jnp.asarray(h_mat, jnp.bfloat16 if on_tpu else jnp.float32)
 
     y = jax.lax.dot_general(
         windows, h_mat,

@@ -36,6 +36,7 @@ from rtsdr_tpu.ops import coeffs
 from rtsdr_tpu.ops.demod import fm_discriminator
 from rtsdr_tpu.ops.fir import fir_decimate, fir_resample, fir_block
 from rtsdr_tpu.ops.iir import deemphasize
+from rtsdr_tpu.ops.ingestfir import ingest_fir_decimate
 from rtsdr_tpu.ops.pll import pll
 from rtsdr_tpu.parallel.mesh import CHANNEL_AXIS, TIME_AXIS
 from rtsdr_tpu.pipeline.audio import AudioState
@@ -72,6 +73,7 @@ def make_time_sharded_receiver(
     resync: bool = False,
     pll_impl: str = "auto",
     deemphasis: float | None = None,
+    ingest_impl: str = "auto",
 ):
     """Build ``(init_fn, step_fn)`` sharded over (channel, time).
 
@@ -99,6 +101,14 @@ def make_time_sharded_receiver(
         use_abs_clock=use_abs_clock, deemphasis=deemphasis)
 
     # coefficients (host constants, closed over)
+    if ingest_impl == "auto":
+        ingest_impl = ("fused" if dtype == jnp.float32
+                       and jax.default_backend() == "tpu" else "split")
+    assert ingest_impl in ("fused", "split")
+    # the bitwise-equality guarantee of the raw-halo scheme needs each
+    # chunk's output count to preserve the banded matmul's 128-output
+    # block grouping (ops/ingestfir.py)
+    fused_ingest = ingest_impl == "fused" and (chunk_if % 128 == 0)
     rf_h = coeffs.lowpass_taps(cfg.rf.fs, cfg.rf.fc, cfg.rf.taps)
     up, down = cfg.mono.up, cfg.mono.down
     a_taps = cfg.mono.taps * up
@@ -175,11 +185,39 @@ def make_time_sharded_receiver(
             return nco_i, nco_q, final
 
         # ---- ingest + front end ----
-        pairs = raw_u8.reshape(*raw_u8.shape[:-1], -1, 2)
-        iq = (jnp.swapaxes(pairs, -1, -2).astype(dtype) - 128.0) * (1.0 / 128.0)
-        zi_fe = jnp.stack([state.frontend.zi_i, state.frontend.zi_q], axis=-2)
-        iq_ds, zi_fe_new = halo_fir(fir_decimate, iq, rf_h, zi_fe, cfg.rf.decim)
-        if_i, if_q = iq_ds[..., 0, :], iq_ds[..., 1, :]
+        # same impl auto-select as the serial frontend: the fused
+        # raw-uint8 banded-matmul FIR on TPU (halos are the normalized
+        # I/Q tails of the left neighbor's raw chunk — identical values
+        # to the split path's carried zi), split elsewhere
+        if fused_ingest:
+            # raw-byte halo: prepend the left neighbor's tail so every
+            # output is a pure window dot — bitwise identical to the
+            # serial fused ingest (the zi boundary matmul applies only on
+            # shard 0, masked to zeros elsewhere = exact +0.0 no-op)
+            t1 = cfg.rf.taps - 1
+            tail_raw = raw_u8[..., -2 * t1:]
+            halo_bytes = first_or(jnp.full_like(tail_raw, 128),
+                                  send_right(tail_raw))
+            raw_ext = jnp.concatenate([halo_bytes, raw_u8], axis=-1)
+            zi_i_eff = first_or(state.frontend.zi_i,
+                                jnp.zeros_like(state.frontend.zi_i))
+            zi_q_eff = first_or(state.frontend.zi_q,
+                                jnp.zeros_like(state.frontend.zi_q))
+            if_i, if_q, zi_i_new, zi_q_new = ingest_fir_decimate(
+                raw_ext, rf_h, zi_i_eff, zi_q_eff, cfg.rf.decim, halo=True)
+            zi_i_new = from_last(zi_i_new)
+            zi_q_new = from_last(zi_q_new)
+        else:
+            pairs = raw_u8.reshape(*raw_u8.shape[:-1], -1, 2)
+            iq = (jnp.swapaxes(pairs, -1, -2).astype(dtype)
+                  - 128.0) * (1.0 / 128.0)
+            zi_fe = jnp.stack([state.frontend.zi_i, state.frontend.zi_q],
+                              axis=-2)
+            iq_ds, zi_fe_new = halo_fir(fir_decimate, iq, rf_h, zi_fe,
+                                        cfg.rf.decim)
+            if_i, if_q = iq_ds[..., 0, :], iq_ds[..., 1, :]
+            zi_i_new = zi_fe_new[..., 0, :]
+            zi_q_new = zi_fe_new[..., 1, :]
 
         prev_local = jnp.stack([if_i[..., -1], if_q[..., -1]], axis=-1)
         prev_recv = send_right(prev_local)
@@ -187,7 +225,7 @@ def make_time_sharded_receiver(
         prev_q = first_or(state.frontend.prev_q, prev_recv[..., 1])
         fm, (pi, pq) = fm_discriminator(if_i, if_q, (prev_i, prev_q))
         fe_state = FrontendState(
-            zi_i=zi_fe_new[..., 0, :], zi_q=zi_fe_new[..., 1, :],
+            zi_i=zi_i_new, zi_q=zi_q_new,
             prev_i=from_last(pi), prev_q=from_last(pq))
 
         # ---- mono ----

@@ -103,3 +103,34 @@ def test_channel_sharded_equals_serial(station_u8):
                                   np.asarray(ser_outs[0].left))
     np.testing.assert_array_equal(np.asarray(out.rds.syndrome_id),
                                   np.asarray(ser_outs[0].rds.syndrome_id))
+
+
+def test_fused_ingest_halo_consistency(station_u8):
+    """The TPU-default fused uint8 ingest (raw-byte banded matmul) only
+    auto-selects on real TPU; force it on the CPU mesh and check the
+    raw-domain halo exchange reproduces the unsharded (T=1) fused run
+    bit-for-bit across blocks."""
+    outs = {}
+    for t_shards in (1, 4):
+        mesh = make_mesh(1, t_shards)
+        init_fn, step_fn = make_time_sharded_receiver(
+            MODE0, mesh, 2, jnp.float32, ingest_impl="fused")
+        state = init_fn()
+        res = []
+        bs = MODE0.block_size
+        for b in range(N_BLOCKS):
+            blk = jnp.asarray(
+                np.stack([station_u8[b * bs:(b + 1) * bs]] * 2))
+            state, out = step_fn(state, blk)
+            res.append(out)
+        outs[t_shards] = (res, jax.tree.leaves(state))
+
+    for b in range(N_BLOCKS):
+        np.testing.assert_array_equal(
+            np.asarray(outs[4][0][b].left), np.asarray(outs[1][0][b].left),
+            err_msg=f"block {b}")
+        np.testing.assert_array_equal(
+            np.asarray(outs[4][0][b].rds.syndrome_id),
+            np.asarray(outs[1][0][b].rds.syndrome_id))
+    for a, bb in zip(outs[4][1], outs[1][1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
