@@ -70,21 +70,25 @@ def ingest_fir_decimate(
                       + [(pad_left, max(0, need_right))],
                       constant_values=128)
 
-    windows_u8 = jnp.stack(
-        [jax.lax.slice_in_dim(raw_pad, s * block * stride_raw,
-                              s * block * stride_raw + span, axis=-1)
-         for s in range(nblk)], axis=-2)
     # On TPU the windows buffer (the dominant HBM traffic, ~1.1x the raw
     # stream per step in f32) materializes in bf16: (b - 128) is an
     # integer in [-128, 127] — exact in bf16 — and the /128 (a power of
     # two, also exact) folds into the filter matrix.  Numerically
     # identical to the f32 form under the MXU's default-precision bf16
-    # truncation; half the bytes.
+    # truncation; half the bytes.  The convert happens PER SLICE so it
+    # fuses into the concatenate's operands — converting the stacked u8
+    # windows afterwards materializes both a u8 and a bf16 copy
+    # (verified in optimized HLO).
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        windows = windows_u8.astype(jnp.bfloat16) - jnp.bfloat16(128.0)
-    else:
-        windows = (windows_u8.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
+
+    def w_slice(s):
+        sl = jax.lax.slice_in_dim(raw_pad, s * block * stride_raw,
+                                  s * block * stride_raw + span, axis=-1)
+        if on_tpu:
+            return sl.astype(jnp.bfloat16) - 128
+        return (sl.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
+
+    windows = jnp.stack([w_slice(s) for s in range(nblk)], axis=-2)
 
     # banded H over the raw domain: output i, quadrature phi reads window
     # position s = stride_raw*i + 2*(t1 - k) + phi with tap h[k]

@@ -262,7 +262,10 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         def same_sign(a, b):
             return ((a > 0) & (b > 0)) | ((a < 0) & (b < 0))
 
-        pairs2_i = sym_i.reshape(b_max, 2)
+        # s_max may be odd (e.g. scaled-down test geometries): the last
+        # symbol then never pairs within the block (it is the lonely-bit
+        # carry), so the even/odd planes cover exactly 2*b_max symbols
+        pairs2_i = sym_i[:2 * b_max].reshape(b_max, 2)
         even, odd = pairs2_i[:, 0], pairs2_i[:, 1]
 
         s4 = s_max // 4
