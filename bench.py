@@ -33,7 +33,11 @@ BASELINE_REALTIME = 64e-3 / (9.294e-3 + 9.246e-5 + 5.944e-4)  # 6.41x
 
 
 def _bench_chain(n_channels: int, k1: int = 4, k2: int = 24,
-                 repeats: int = 3, **kwargs) -> dict:
+                 repeats: int = 8, **kwargs) -> dict:
+    # repeats=8: the shared dev chip shows bimodal contention (other
+    # tenants) — quiet-window timings are ~5x faster than busy ones, and
+    # min-of-many is the only estimator that reliably lands in a quiet
+    # window.  Each repeat is ~0.2 s, so this stays cheap.
     cfg = MODE0
     init_fn, step_fn = make_receiver(cfg, (n_channels,), jnp.float32, **kwargs)
     step = jax.jit(step_fn, donate_argnums=0)

@@ -34,6 +34,16 @@ def main(argv=None) -> int:
                    help="decode RDS group payloads (PI/PTY/PS/RadioText) "
                         "to stderr — beyond the reference, which stops at "
                         "syndromes")
+    p.add_argument("--clock", choices=("hold", "track", "argmax", "gardner"),
+                   default="hold",
+                   help="RDS symbol-clock recovery: hold/track = reference "
+                        "parity modes; argmax = per-block re-estimation; "
+                        "gardner = decision-directed timing loop (tracks "
+                        "receiver XO ppm error the reference modes cannot)")
+    p.add_argument("--resync", action="store_true",
+                   help="reset the sync anchor after >10 bad syndromes "
+                        "(the reference's recovery mechanism, "
+                        "src/fm_radio.cpp:699-704)")
     p.add_argument("--stations", nargs="+", metavar="FILE", default=None,
                    help="batch mode: decode N capture files as one batched "
                         "receiver step; writes FILE.wav per station, RDS "
@@ -62,6 +72,10 @@ def main(argv=None) -> int:
         kwargs["enable_stereo"] = False
     if args.deemphasis is not None:
         kwargs["deemphasis"] = args.deemphasis * 1e-6
+    if args.clock != "hold":
+        kwargs["offset_mode"] = args.clock
+    if args.resync:
+        kwargs["resync"] = True
 
     if args.stations:
         return _batch_decode(cfg, args.stations, args.blocks, kwargs)

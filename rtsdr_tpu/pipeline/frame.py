@@ -74,6 +74,13 @@ SYNDROME_NAMES = ["A", "B", "C", "D"]
 
 CARRY_BITS = 27  # model/fmRDSblock.py:346 carries position-1 onward
 
+# Gardner timing-loop gain: error is normalized by symbol power, so the
+# gain maps error units to samples/block; 6.0 steps ~1 sample per block
+# at ~0.2-symbol timing offset (calibrated on the synthetic multiplex,
+# test_frame_edges.py gardner tests) while noise-induced jitter stays
+# well under the rounding threshold.
+_GARDNER_GAIN = 6.0
+
 
 class FrameState(NamedTuple):
     offset: jax.Array        # int32 clock offset into the RRC block
@@ -86,6 +93,7 @@ class FrameState(NamedTuple):
     base_pos: jax.Array      # int32 global position of this block's window 0
     last_position: jax.Array  # int32, -1 until first sync
     bad_count: jax.Array     # int32 consecutive false positives (resync)
+    offset_frac: jax.Array   # float timing-loop integrator ('gardner' mode)
 
 
 class FrameOutputs(NamedTuple):
@@ -117,6 +125,7 @@ def frame_init(cfg: ReceiverConfig, dtype=jnp.float32) -> FrameState:
         base_pos=jnp.zeros((), i32),
         last_position=jnp.full((), -1, i32),
         bad_count=jnp.zeros((), i32),
+        offset_frac=jnp.zeros((), dtype),
     )
 
 
@@ -211,8 +220,25 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
     699-704): after >10 consecutive wrongly-spaced syndrome matches the
     sync anchor resets, letting the decoder re-acquire after a signal
     dropout.  Off by default for golden-model parity.
+
+    ``offset_mode``: clock-recovery strategy.
+      * 'hold'  — block-0 argmax held forever (the C++'s behavior,
+                  src/fm_radio.cpp:529-538); default, golden parity.
+      * 'track' — the model's per-block phase bookkeeping
+                  (model/fmRDSblock.py:219); golden parity.
+      * 'argmax' — re-estimate the offset from each block's first symbol
+                  period; self-corrects slow clock drift at the cost of
+                  occasional one-symbol slips at re-estimation seams, and
+                  jitters when the true offset sits near the wrap
+                  boundary — prefer 'gardner' for sustained skew.
+      * 'gardner' — decision-directed Gardner timing loop (beyond the
+                  reference): per block, the timing error
+                  mean(mid_n * (sym_n - sym_{n-1})) drives an integrator
+                  that steps the offset by at most one sample per block —
+                  tracks receiver sample-clock error (XO ppm) that defeats
+                  both reference modes.
     """
-    assert offset_mode in ("hold", "track")
+    assert offset_mode in ("hold", "track", "argmax", "gardner")
     r_len = cfg.rds_len
     sps = cfg.rds.sps
     s_max, b_max, e_max, w_max = frame_sizes(cfg)
@@ -226,7 +252,18 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         first24 = rrc_i[:sps]
         peak = jnp.abs(first24) if use_abs_clock else first24
         offset0 = jnp.argmax(peak).astype(i32)
-        offset = jnp.where(state.first_block, offset0, state.offset)
+        carried_start = state.start_pos
+        if offset_mode == "argmax":
+            offset = offset0  # re-estimated every block
+            # if the fresh estimate wrapped relative to the last block's,
+            # one symbol was skipped/duplicated at the seam — this
+            # block's Manchester pairing parity is flipped
+            slipped_now = ((~state.first_block)
+                           & (jnp.abs(offset - state.offset) > sps // 2))
+            carried_start = jnp.where(slipped_now, 1 - carried_start,
+                                      carried_start)
+        else:
+            offset = jnp.where(state.first_block, offset0, state.offset)
 
         # symbols = rrc[offset::24].  r_len = s_max*sps exactly, so the
         # reshape (s_max, sps) holds every phase; selecting the offset
@@ -248,10 +285,43 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         sym_i = jnp.where(sym_pos_valid, sym_i, 0.0)
         sym_q = jnp.where(sym_pos_valid, sym_q, 0.0)
 
+        new_frac = state.offset_frac
         if offset_mode == "track":
             new_offset = (sps + r_len - offset - sps * n_sym).astype(i32)
+        elif offset_mode == "gardner":
+            # Gardner TED over the block: midpoints via a second one-hot
+            # phase plane (gather-free), error normalized by symbol power,
+            # integrator steps the offset at most +-1 sample per block
+            half = sps // 2
+            mid_off = jnp.mod(offset - half, sps)
+            onehot_m = (jnp.arange(sps, dtype=i32)
+                        == mid_off).astype(rrc_i.dtype)
+            midm = jnp.sum(phases_i * onehot_m, axis=-1)
+            # midm[j] sits between sym[j-1], sym[j] when offset >= half,
+            # else between sym[j], sym[j+1] -> use previous row for pair n
+            mid_n = jnp.where(offset >= half, midm,
+                              jnp.concatenate([midm[:1], midm[:-1]]))
+            dsym = sym_i - jnp.concatenate([sym_i[:1], sym_i[:-1]])
+            nmask = (jnp.arange(s_max, dtype=i32) >= 1) & sym_pos_valid
+            num = jnp.sum(jnp.where(nmask, dsym * mid_n, 0.0))
+            den = jnp.sum(jnp.where(sym_pos_valid, sym_i * sym_i, 0.0))
+            e = num / (den + jnp.asarray(1e-12, den.dtype))
+            # e > 0 <=> sampling late (mid sample past the transition
+            # crossing, same sign as the symbol step) -> move earlier
+            frac = state.offset_frac - _GARDNER_GAIN * e
+            step = jnp.clip(jnp.round(frac), -1.0, 1.0)
+            new_frac = frac - step
+            new_offset = jnp.mod(offset + step.astype(i32), sps)
         else:
             new_offset = offset
+        # an offset WRAP (gardner) skips or duplicates one symbol at the
+        # next block seam, which flips the Manchester pairing parity —
+        # carry the flipped phase (one group is corrupted at the slip,
+        # ~every sps/|drift| blocks; without this the decoder never
+        # re-pairs and dies after the first wrap).  Applied to start_pos
+        # after the screening section computes it.
+        gardner_slip = (jnp.abs(new_offset - offset) > sps // 2
+                        if offset_mode == "gardner" else None)
 
         # ---- Manchester phase screening, first block only
         # (model/fmRDSblock.py:233-250) ----
@@ -279,7 +349,10 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         count0 = jnp.sum(c0.astype(i32))
         count1 = jnp.sum(c1.astype(i32))
         start0 = jnp.where(count0 > count1, 1, 0).astype(i32)
-        start_pos = jnp.where(state.first_block, start0, state.start_pos)
+        start_pos = jnp.where(state.first_block, start0, carried_start)
+        start_pos_carry = (start_pos if gardner_slip is None
+                           else jnp.where(gardner_slip, 1 - start_pos,
+                                          start_pos))
 
         # ---- symbol pairs -> bits (model/fmRDSblock.py:252-277) ----
         # start_pos=0: bit j = sym[2j]   > sym[2j+1]  =  even[j] > odd[j]
@@ -372,11 +445,11 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
             is_false_pos=is_fp, positions=positions, is_resync=is_resync,
             info_word=info_word)
         new_state = FrameState(
-            offset=new_offset, start_pos=start_pos, lonely_bit=lonely,
+            offset=new_offset, start_pos=start_pos_carry, lonely_bit=lonely,
             prebit=prebit_new, first_block=jnp.zeros((), jnp.bool_),
             carry=carry_new, carry_len=jnp.full((), CARRY_BITS, i32),
             base_pos=base_new, last_position=last_position,
-            bad_count=bad_count)
+            bad_count=bad_count, offset_frac=new_frac)
         return outputs, new_state
 
     return frame
