@@ -54,8 +54,10 @@ def measure_scaling(
             return time.perf_counter() - t0
 
         run(k1), run(k2)
-        dt = (min(run(k2) for _ in range(2)) - min(run(k1) for _ in range(2))
-              ) / (k2 - k1)
+        # clamp: with small k1/k2 on a loaded host the slope can come out
+        # <= 0 (scheduling noise exceeds the step cost)
+        dt = max((min(run(k2) for _ in range(2))
+                  - min(run(k1) for _ in range(2))) / (k2 - k1), 1e-9)
         rate = n_ch / dt  # channel-blocks per second
         if base_rate is None:
             base_rate = rate / n_dev  # per-device baseline
