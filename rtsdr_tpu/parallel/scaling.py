@@ -54,19 +54,35 @@ def measure_scaling(
             return time.perf_counter() - t0
 
         run(k1), run(k2)
-        # clamp: with small k1/k2 on a loaded host the slope can come out
-        # <= 0 (scheduling noise exceeds the step cost)
-        dt = max((min(run(k2) for _ in range(2))
-                  - min(run(k1) for _ in range(2))) / (k2 - k1), 1e-9)
+
+        def slope(a, b):
+            return (min(run(b) for _ in range(2))
+                    - min(run(a) for _ in range(2))) / (b - a)
+
+        # on a loaded host a small-k slope can come out <= 0 (scheduling
+        # noise exceeds the step cost): retry with a wider k spread, then
+        # clamp AND flag so a junk rate can't silently poison base_rate
+        # or the recorded efficiencies
+        dt = slope(k1, k2)
+        unreliable = False
+        if dt <= 0:
+            dt = slope(k1, 4 * k2 - 3 * k1)
+        if dt <= 0:
+            dt = 1e-9
+            unreliable = True
         rate = n_ch / dt  # channel-blocks per second
-        if base_rate is None:
+        if base_rate is None and not unreliable:
             base_rate = rate / n_dev  # per-device baseline
-        results.append({
+        rec = {
             "devices": n_dev,
             "channels": n_ch,
             "channel_blocks_per_sec": rate,
-            "efficiency": rate / (base_rate * n_dev),
-        })
+            "efficiency": (rate / (base_rate * n_dev)
+                           if base_rate is not None else None),
+        }
+        if unreliable:
+            rec["unreliable"] = True
+        results.append(rec)
     return results
 
 

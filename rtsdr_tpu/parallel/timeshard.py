@@ -102,13 +102,21 @@ def make_time_sharded_receiver(
 
     # coefficients (host constants, closed over)
     if ingest_impl == "auto":
+        # the bitwise-equality guarantee of the raw-halo scheme needs
+        # each chunk's output count to preserve the banded matmul's
+        # 128-output block grouping (ops/ingestfir.py)
         ingest_impl = ("fused" if dtype == jnp.float32
-                       and jax.default_backend() == "tpu" else "split")
+                       and jax.default_backend() == "tpu"
+                       and chunk_if % 128 == 0 else "split")
     assert ingest_impl in ("fused", "split")
-    # the bitwise-equality guarantee of the raw-halo scheme needs each
-    # chunk's output count to preserve the banded matmul's 128-output
-    # block grouping (ops/ingestfir.py)
-    fused_ingest = ingest_impl == "fused" and (chunk_if % 128 == 0)
+    if ingest_impl == "fused":
+        # explicit request: fail loudly instead of silently demoting
+        assert dtype == jnp.float32, (
+            "fused ingest computes in float32/bf16; use split for f64")
+        assert chunk_if % 128 == 0, (
+            f"fused ingest needs if_len/T ({chunk_if}) % 128 == 0 to stay "
+            "bitwise-equal to the serial receiver; use ingest_impl='split'")
+    fused_ingest = ingest_impl == "fused"
     rf_h = coeffs.lowpass_taps(cfg.rf.fs, cfg.rf.fc, cfg.rf.taps)
     up, down = cfg.mono.up, cfg.mono.down
     a_taps = cfg.mono.taps * up

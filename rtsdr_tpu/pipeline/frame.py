@@ -250,7 +250,12 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
 
         # ---- clock recovery (model/fmRDSblock.py:207-219) ----
         first24 = rrc_i[:sps]
-        peak = jnp.abs(first24) if use_abs_clock else first24
+        # the tracking modes re-estimate (or seed a loop) from this peak:
+        # the signed form (golden-parity choice for hold/track) picks a
+        # wrong offset on any block whose first symbol is negative, so
+        # they always use the magnitude
+        use_abs = use_abs_clock or offset_mode in ("argmax", "gardner")
+        peak = jnp.abs(first24) if use_abs else first24
         offset0 = jnp.argmax(peak).astype(i32)
         carried_start = state.start_pos
         if offset_mode == "argmax":
