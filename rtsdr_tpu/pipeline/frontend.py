@@ -5,13 +5,16 @@ Replaces the reference rf_thread (src/fm_radio.cpp:31-147): deinterleave,
 then the discriminator.  Coefficients are computed once at build time, not
 per block (reference quirk at src/fm_radio.cpp:75).
 
-Two implementations:
+Three implementations:
   * 'split'  — normalize/deinterleave then a batched I+Q decimating FIR
                (the reference's C7 "fused I+Q" kernel is here simply a
                batched leading dim); dtype-general, used on CPU/float64.
   * 'fused'  — ``ops.ingestfir``: the banded-matmul FIR consumes the raw
                interleaved uint8 directly (no float copies of the 2.4 MS/s
                stream); float32, default on TPU.
+  * 'iq'     — input is already float I/Q stacked as (..., 2, n) — the
+               wideband channelizer's per-channel baseband
+               (pipeline/wideband.py); skips normalize/deinterleave.
 """
 
 from __future__ import annotations
@@ -56,16 +59,19 @@ def make_frontend(cfg: ReceiverConfig, dtype=jnp.float32, impl: str = "auto"):
     if impl == "auto":
         impl = ("fused" if jax.default_backend() == "tpu"
                 and dtype == jnp.float32 else "split")
-    assert impl in ("fused", "split")
+    assert impl in ("fused", "split", "iq")
 
     def frontend(state: FrontendState, raw_u8: jax.Array):
         if impl == "fused":
             i_ds, q_ds, zi_i, zi_q = ingest_fir_decimate(
                 raw_u8, rf_h, state.zi_i, state.zi_q, decim)
         else:
-            pairs = raw_u8.reshape(*raw_u8.shape[:-1], -1, 2)
-            iq = (jnp.swapaxes(pairs, -1, -2).astype(dtype)
-                  - 128.0) * (1.0 / 128.0)
+            if impl == "iq":
+                iq = raw_u8  # already float (..., 2, n)
+            else:
+                pairs = raw_u8.reshape(*raw_u8.shape[:-1], -1, 2)
+                iq = (jnp.swapaxes(pairs, -1, -2).astype(dtype)
+                      - 128.0) * (1.0 / 128.0)
             zi = jnp.stack([state.zi_i, state.zi_q], axis=-2)
             iq_ds, zi_new = fir_decimate(iq, rf_h, zi, decim)
             i_ds = iq_ds[..., 0, :]

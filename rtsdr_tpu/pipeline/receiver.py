@@ -67,6 +67,7 @@ def make_receiver(
     resync: bool = False,
     pll_impl: str = "auto",
     deemphasis: float | None = None,
+    frontend_impl: str = "auto",
 ):
     """Build ``(init_fn, step_fn)`` for the full receiver.
 
@@ -75,14 +76,15 @@ def make_receiver(
     multi-station use case).
 
     ``step_fn(state, raw_u8)``: raw_u8 is (..., block_size) interleaved
-    uint8 IQ.
+    uint8 IQ — or, with ``frontend_impl='iq'``, float (..., 2, iq_len)
+    stacked I/Q (the wideband channelizer's per-channel output).
     """
     if enable_rds is None:
         enable_rds = cfg.rds is not None
     if enable_rds and cfg.rds is None:
         raise ValueError(f"mode {cfg.mode} has no RDS path")
 
-    frontend = make_frontend(cfg, dtype)
+    frontend = make_frontend(cfg, dtype, impl=frontend_impl)
     audio = make_audio(cfg, enable_stereo=enable_stereo,
                        pll_impl=pll_impl, deemphasis=deemphasis)
     rds_fn = make_rds(cfg, pll_impl=pll_impl) if enable_rds else None
