@@ -44,6 +44,12 @@ def main(argv=None) -> int:
                    help="reset the sync anchor after >10 bad syndromes "
                         "(the reference's recovery mechanism, "
                         "src/fm_radio.cpp:699-704)")
+    p.add_argument("--wideband", type=int, metavar="K", default=None,
+                   help="treat stdin as ONE wideband capture at K x the "
+                        "mode's RF rate; the PFB channelizer splits it "
+                        "into K stations decoded in one batched step, "
+                        "writing channel<k>.wav per station (the "
+                        "reference needs one dongle pipe per station)")
     p.add_argument("--stations", nargs="+", metavar="FILE", default=None,
                    help="batch mode: decode N capture files as one batched "
                         "receiver step; writes FILE.wav per station, RDS "
@@ -79,6 +85,8 @@ def main(argv=None) -> int:
 
     if args.stations:
         return _batch_decode(cfg, args.stations, args.blocks, kwargs)
+    if args.wideband:
+        return _wideband_decode(cfg, args.wideband, args.blocks, kwargs)
 
     runner = StreamRunner(cfg, **kwargs)
     print("compiling receiver (first block is slow; subsequent blocks are "
@@ -192,6 +200,58 @@ def _batch_decode(cfg, files, max_blocks, kwargs) -> int:
 
     print(f"processed {blocks} blocks x {n} stations, {events} RDS events",
           file=sys.stderr)
+    return 0
+
+
+def _wideband_decode(cfg, k, max_blocks, kwargs) -> int:
+    """One wideband stdin capture -> K stations via the PFB channelizer
+    (pipeline/wideband.py), channel<k>.wav per station."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtsdr_tpu.io.stream import format_rds_events
+    from rtsdr_tpu.io.wav import WavStreamWriter
+    from rtsdr_tpu.ops.channelizer import channel_center_freqs
+    from rtsdr_tpu.pipeline.wideband import make_wideband_receiver
+
+    init_fn, step_fn = make_wideband_receiver(cfg, k, **kwargs)
+    state = jax.tree.map(lambda x: jnp.array(x, copy=True), init_fn())
+    step = jax.jit(step_fn, donate_argnums=0)
+    freqs = channel_center_freqs(k, k * cfg.rf.fs)
+    print("wideband channel centers (Hz):",
+          " ".join(f"{f / 1e6:+.1f}M" for f in freqs), file=sys.stderr)
+
+    wbs = k * cfg.block_size
+    writers: list = [None] * k
+    blocks = 0
+    events = 0
+    try:
+        while max_blocks is None or blocks < max_blocks:
+            raw = sys.stdin.buffer.read(wbs)
+            if len(raw) < wbs:
+                break
+            state, out = step(state, jnp.asarray(
+                np.frombuffer(raw, np.uint8)))
+            for c in range(k):
+                if writers[c] is None:
+                    writers[c] = WavStreamWriter(f"channel{c}.wav",
+                                                 fs=int(cfg.audio_fs))
+                writers[c].write_float(np.asarray(out.left[c]),
+                                       np.asarray(out.right[c]))
+                if out.rds is not None:
+                    fo = jax.tree.map(lambda x, c=c: x[c], out.rds)
+                    for line in format_rds_events(fo):
+                        print(f"[ch{c}] {line}", file=sys.stderr)
+                        events += 1
+            blocks += 1
+    finally:
+        for w in writers:
+            if w is not None:
+                w.close()
+
+    print(f"processed {blocks} wideband blocks x {k} channels, "
+          f"{events} RDS events", file=sys.stderr)
     return 0
 
 

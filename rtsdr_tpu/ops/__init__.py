@@ -5,6 +5,12 @@ polyphase resampling with overlap-save state carry, the FM discriminator,
 the PLL/NCO recurrence, and PSD estimation.
 """
 
+from rtsdr_tpu.ops.channelizer import (  # noqa: F401
+    channel_center_freqs,
+    channelizer_taps,
+    channelizer_zi,
+    pfb_channelize,
+)
 from rtsdr_tpu.ops.coeffs import (  # noqa: F401
     bandpass_taps,
     lowpass_taps,
