@@ -40,10 +40,13 @@ def main(argv=None) -> int:
                         "parity modes; argmax = per-block re-estimation; "
                         "gardner = decision-directed timing loop (tracks "
                         "receiver XO ppm error the reference modes cannot)")
-    p.add_argument("--resync", action="store_true",
+    p.add_argument("--resync", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="reset the sync anchor after >10 bad syndromes "
-                        "(the reference's recovery mechanism, "
-                        "src/fm_radio.cpp:699-704)")
+                        "(the reference C++ always does this, "
+                        "src/fm_radio.cpp:699-704; it also recovers from "
+                        "a chance match poisoning the first anchor); "
+                        "--no-resync gives golden-model parity")
     p.add_argument("--wideband", type=int, metavar="K", default=None,
                    help="treat stdin as ONE wideband capture at K x the "
                         "mode's RF rate; the PFB channelizer splits it "
