@@ -71,21 +71,23 @@ def ingest_fir_decimate(
                       constant_values=128)
 
     # On TPU the windows buffer (the dominant HBM traffic, ~1.1x the raw
-    # stream per step in f32) materializes in bf16: (b - 128) is an
-    # integer in [-128, 127] — exact in bf16 — and the /128 (a power of
-    # two, also exact) folds into the filter matrix.  Numerically
-    # identical to the f32 form under the MXU's default-precision bf16
-    # truncation; half the bytes.  The convert happens PER SLICE so it
-    # fuses into the concatenate's operands — converting the stacked u8
-    # windows afterwards materializes both a u8 and a bf16 copy
-    # (verified in optimized HLO).
+    # stream per step in f32) materializes as INT8: (b - 128) is exactly
+    # the two's-complement reinterpretation of b ^ 0x80, the taps go in
+    # as a two-level s8 quantization h*s ~= A + B/127 (A, B int8 — ~15
+    # significant bits, 26x more accurate than a bf16 single level,
+    # measured 3.8e-5 vs 1.0e-3 max error against the float64 oracle at
+    # equal speed), and the s8 x s8 -> s32 accumulation is integer-exact
+    # (|sum| <= 2842 * 128 * 127 < 2^31).  The xor/convert happens PER
+    # SLICE so it fuses into the concatenate's operands — converting the
+    # stacked windows afterwards materializes two copies (verified in
+    # optimized HLO).  CPU path stays float32.
     on_tpu = jax.default_backend() == "tpu"
 
     def w_slice(s):
         sl = jax.lax.slice_in_dim(raw_pad, s * block * stride_raw,
                                   s * block * stride_raw + span, axis=-1)
         if on_tpu:
-            return sl.astype(jnp.bfloat16) - 128
+            return (sl ^ jnp.uint8(0x80)).astype(jnp.int8)
         return (sl.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
 
     windows = jnp.stack([w_slice(s) for s in range(nblk)], axis=-2)
@@ -95,21 +97,37 @@ def ingest_fir_decimate(
     i_idx = np.arange(block)[:, None]
     k_idx = np.arange(taps)[None, :]
     s_even = stride_raw * i_idx + 2 * (t1 - k_idx)
-    h_mat = np.zeros((span, 2 * block), np.float32)
     rows = np.broadcast_to(i_idx, s_even.shape)
-    # bf16(h)/128 == bf16(h/128) (power-of-two scale), so folding the
-    # normalize here keeps the TPU dot bitwise-identical to the f32 form
-    h_fold = h / 128.0 if on_tpu else h
-    h_b = np.broadcast_to(h_fold, s_even.shape)
-    h_mat[s_even.ravel(), 2 * rows.ravel()] = h_b.ravel().astype(np.float32)
-    h_mat[s_even.ravel() + 1, 2 * rows.ravel() + 1] = \
-        h_b.ravel().astype(np.float32)
-    h_mat = jnp.asarray(h_mat, jnp.bfloat16 if on_tpu else jnp.float32)
 
-    y = jax.lax.dot_general(
-        windows, h_mat,
-        dimension_numbers=(((windows.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)      # (..., nblk, 2*block)
+    if on_tpu:
+        s1 = 127.0 / np.abs(h).max()
+        h_hi = np.round(h * s1)
+        h_lo = np.round((h * s1 - h_hi) * 127.0)
+        h_mat = np.zeros((span, 4 * block), np.int8)
+        for off, vals in ((0, h_hi), (2 * block, h_lo)):
+            h_b = np.broadcast_to(vals, s_even.shape)
+            h_mat[s_even.ravel(), off + 2 * rows.ravel()] = h_b.ravel()
+            h_mat[s_even.ravel() + 1, off + 2 * rows.ravel() + 1] = \
+                h_b.ravel()
+        y32 = jax.lax.dot_general(
+            windows, jnp.asarray(h_mat),
+            dimension_numbers=(((windows.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)    # (..., nblk, 4*block)
+        y32 = y32.reshape(*batch, nblk, 2, 2 * block)
+        y = ((y32[..., 0, :].astype(jnp.float32)
+              + y32[..., 1, :].astype(jnp.float32) * np.float32(1 / 127.0))
+             * np.float32(1.0 / (128.0 * s1)))
+    else:
+        h_mat = np.zeros((span, 2 * block), np.float32)
+        h_b = np.broadcast_to(h, s_even.shape)
+        h_mat[s_even.ravel(), 2 * rows.ravel()] = \
+            h_b.ravel().astype(np.float32)
+        h_mat[s_even.ravel() + 1, 2 * rows.ravel() + 1] = \
+            h_b.ravel().astype(np.float32)
+        y = jax.lax.dot_general(
+            windows, jnp.asarray(h_mat),
+            dimension_numbers=(((windows.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (..., nblk, 2*block)
     y = y.reshape(*batch, nblk * block, 2)[..., :m_total, :]
     y_i = y[..., 0]
     y_q = y[..., 1]
