@@ -149,6 +149,48 @@ def _conv1d_valid(x: jax.Array, h: jax.Array, stride: int = 1,
     return _conv1d_valid_xla(x, h, stride)
 
 
+def _h_concrete(h):
+    """h as float64 numpy, or None if it's a traced value (the fused
+    Pallas path bakes taps into the kernel, so it needs concrete h)."""
+    if isinstance(h, jax.core.Tracer):
+        return None
+    try:
+        return np.asarray(h, np.float64)
+    except Exception:
+        return None
+
+
+def _bank_fast_shape(x, taps: int, stride: int):
+    """(flat_batch, n) reshape plan if the fused Pallas kernel applies,
+    else None.  TPU-only; CPU/f64/odd shapes keep the XLA paths."""
+    if jax.default_backend() != "tpu" or x.dtype != jnp.float32:
+        return None
+    if x.ndim < 2 or x.shape[-1] % max(stride, 1):
+        return None
+    from rtsdr_tpu.ops import pallas_fir
+
+    flat = int(np.prod(x.shape[:-1]))
+    x2d = x.reshape(flat, x.shape[-1])
+    if not pallas_fir.eligible(x2d, taps, stride):
+        return None
+    return x2d
+
+
+def _bank_fast(x, h_list, zi, stride: int):
+    """Run the fused kernel on the flattened batch; None if ineligible."""
+    taps = len(h_list[0])
+    x2d = _bank_fast_shape(x, taps, stride)
+    if x2d is None:
+        return None
+    from rtsdr_tpu.ops import pallas_fir
+
+    zi2d = zi.reshape(x2d.shape[0], taps - 1)
+    ys, new_zi = pallas_fir.fir_bank_carried(x2d, h_list, zi2d, stride)
+    out_shape = x.shape[:-1] + (x.shape[-1] // stride,)
+    ys = [y.reshape(out_shape) for y in ys]
+    return ys, new_zi.reshape(zi.shape)
+
+
 def fir_block(x: jax.Array, h, zi: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Stateful block FIR: y[n] = sum_k h[k] * xext[n + taps - 1 - k].
 
@@ -161,6 +203,12 @@ def fir_block(x: jax.Array, h, zi: jax.Array) -> tuple[jax.Array, jax.Array]:
       y:      (..., N) filtered block (same alignment as lfilter).
       new_zi: (..., taps-1) this block's input tail.
     """
+    if x.dtype == jnp.float32:
+        h_np = _h_concrete(h)
+        fast = (_bank_fast(x, [h_np], zi, 1)
+                if h_np is not None else None)
+        if fast is not None:
+            return fast[0][0], fast[1]
     h = _as_taps(h, x.dtype)
     xext = jnp.concatenate([zi, x], axis=-1)
     y = _conv1d_valid(xext, h)
@@ -186,6 +234,12 @@ def fir_block_multi(x: jax.Array, h_list, zi: jax.Array
     """
     taps = {len(h) for h in h_list}
     assert len(taps) == 1, "fir_block_multi requires equal tap counts"
+    if x.dtype == jnp.float32:
+        hs_np = [_h_concrete(h) for h in h_list]
+        fast = (_bank_fast(x, hs_np, zi, 1)
+                if all(h is not None for h in hs_np) else None)
+        if fast is not None:
+            return jnp.stack(fast[0], axis=-2), fast[1]
     hs = jnp.stack([_as_taps(h, x.dtype) for h in h_list])  # (F, taps)
     xext = jnp.concatenate([zi, x], axis=-1)
     new_zi = xext[..., -(hs.shape[-1] - 1):]
@@ -246,6 +300,12 @@ def fir_decimate(x: jax.Array, h, zi: jax.Array,
     model/fmMonoBlock.py:86-105) but never materializes the dropped samples
     (reference C5, src/filter.cpp:126-154).
     """
+    if x.dtype == jnp.float32:
+        h_np = _h_concrete(h)
+        fast = (_bank_fast(x, [h_np], zi, decim)
+                if h_np is not None else None)
+        if fast is not None:
+            return fast[0][0], fast[1]
     h = _as_taps(h, x.dtype)
     xext = jnp.concatenate([zi, x], axis=-1)
     y = _conv1d_valid(xext, h, stride=decim)
@@ -351,14 +411,19 @@ def fir_resample(x: jax.Array, h, zi: jax.Array, up: int, down: int,
     """
     if gain is None:
         gain = float(up)
+
+    if up == 1:
+        # pass h unconverted so fir_decimate's fused fast path (which
+        # needs concrete taps) can engage
+        y, new_zi = fir_decimate(x, h, zi, down)
+        if gain == 1.0:
+            return y, new_zi
+        return y * jnp.asarray(gain, x.dtype), new_zi
+
     h = _as_taps(h, x.dtype)
     taps = h.shape[0]
     n = x.shape[-1]
     batch = x.shape[:-1]
-
-    if up == 1:
-        y, new_zi = fir_decimate(x, h, zi, down)
-        return y * jnp.asarray(gain, x.dtype), new_zi
 
     if jax.default_backend() == "tpu":
         y, new_zi = _resample_polyphase_matmul(x, h, zi, up, down)

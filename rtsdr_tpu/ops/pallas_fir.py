@@ -1,0 +1,211 @@
+"""Fused-window banded FIR bank as a Pallas TPU kernel.
+
+The XLA banded-matmul FIRs (ops/fir.py) materialize their im2col windows
+in HBM (~1.1-2.2x the input per pass, in bf16); at 512 channels the
+IF-rate stages each round-trip tens of MB per step.  This kernel builds
+the windows in VMEM instead — each grid step reads its input A-block
+plus an aligned look-back head block, applies the optional elementwise
+pre-op, converts to bf16 (numerically identical to the XLA path: TPU
+f32 dots truncate operands to bf16 at default precision), and contracts
+against a banded filter matrix resident in VMEM.  F filters over the
+same input share one window read (the fir_block_multi trick, without
+the HBM windows).
+
+Same overlap-save convention as ops/fir.py: the carried state is the
+last taps-1 *input* samples, applied outside as a tiny boundary matmul;
+in-kernel, outputs near the left edge see zeros there (the head block's
+contribution is masked at j=0).
+
+Reference anchor: this covers the reference's stride-1 band-pass stages
+and decimating LPFs (src/filter.cpp:96-185) plus the squaring/mixer
+fusions (C10/C11, src/filter.cpp:342-401) via the ``pre`` hook.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fir_kernel(*refs, n_in: int, block: int, stride: int, hw: int,
+                n_f: int, pre: str):
+    """refs = (x-head, x-A, [x2-head, x2-A,] H, out_0..out_{F-1})."""
+    if pre == "mul2":
+        ph, pa, qh, qa, h_ref = refs[:5]
+        outs = refs[5:]
+        hd = ph[...] * qh[...] * 2.0
+        aw = pa[...] * qa[...] * 2.0
+    else:
+        ph, pa, h_ref = refs[:3]
+        outs = refs[3:]
+        if pre == "square":
+            hd = ph[...] * ph[...]
+            aw = pa[...] * pa[...]
+        else:
+            hd = ph[...]
+            aw = pa[...]
+    j = pl.program_id(1)
+    hd = hd * (j > 0).astype(jnp.float32)
+    w = jnp.concatenate([hd, aw], axis=-1).astype(jnp.bfloat16)
+    o = jax.lax.dot_general(
+        w, h_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)      # (tile_c, n_f*block)
+    for f in range(n_f):
+        outs[f][...] = o[:, f * block:(f + 1) * block]
+
+
+def _banded_h(h_list, block: int, stride: int, hw: int) -> np.ndarray:
+    """(K, F*block) banded matrix: col f*block+i, row i*stride + k - t1
+    + hw holds h_rev[k] (= y[m] = sum_k h[k] x[m*stride + t1 - k])."""
+    taps = len(h_list[0])
+    t1 = taps - 1
+    k_dim = hw + block * stride
+    i_idx = np.arange(block)[:, None]
+    k_idx = np.arange(taps)[None, :]
+    r = stride * i_idx + k_idx - t1 + hw
+    h_mat = np.zeros((k_dim, len(h_list) * block), np.float32)
+    for f, h in enumerate(h_list):
+        h_rev = np.asarray(h, np.float64)[::-1]
+        h_b = np.broadcast_to(h_rev, r.shape)
+        cols = np.broadcast_to(f * block + i_idx, r.shape)
+        h_mat[r.ravel(), cols.ravel()] = h_b.ravel()
+    return h_mat
+
+
+@functools.partial(jax.jit,
+                   static_argnums=(3, 4, 5, 6, 7), inline=True)
+def _pallas_fir(x, x2, h_mat, stride: int, block: int, tile_c: int,
+                hw: int, pre: str):
+    c, n = x.shape
+    m = n // stride
+    nblk = m // block
+    a_w = block * stride
+    n_f = h_mat.shape[1] // block
+    kern = functools.partial(_fir_kernel, n_in=n, block=block,
+                             stride=stride, hw=hw, n_f=n_f, pre=pre)
+    ratio = a_w // hw
+
+    def head_map(i, j):
+        return (i, jnp.maximum(j * ratio - 1, 0))
+
+    def xspecs():
+        return [
+            pl.BlockSpec((tile_c, hw), head_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, a_w), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    in_specs = xspecs()
+    args = [x, x]
+    if pre == "mul2":
+        in_specs += xspecs()
+        args += [x2, x2]
+    in_specs.append(pl.BlockSpec((hw + a_w, n_f * block),
+                                 lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(h_mat)
+    outs = pl.pallas_call(
+        kern,
+        grid=(c // tile_c, nblk),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((tile_c, block), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)] * n_f,
+        out_shape=[jax.ShapeDtypeStruct((c, m), jnp.float32)] * n_f,
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+    return outs
+
+
+def eligible(x, taps: int, stride: int, block: int | None = None) -> bool:
+    """Shapes the fused kernel handles; callers fall back to XLA else."""
+    if x.ndim != 2 or x.dtype != jnp.float32:
+        return False
+    block = block or (256 if stride == 1 else 128)
+    c, n = x.shape
+    if c % 32 or n % stride:
+        return False
+    m = n // stride
+    a_w = block * stride
+    hw = -(-(taps - 1) // 128) * 128
+    return m % block == 0 and a_w % hw == 0 and a_w % 128 == 0
+
+
+def fir_bank_carried(x, h_list, zi, stride: int = 1, x2=None,
+                     pre: str = "none") -> tuple[list[jax.Array], jax.Array]:
+    """``fir_block``/``fir_decimate`` semantics on the fused kernel.
+
+    y[f][m] = sum_k h_f[k] * xext[m*stride + taps-1 - k], xext = [zi | x']
+    (x' = pre-op of x), per filter; returns (ys, new_zi).  The zero-state
+    part runs in-kernel; the carried tail enters via a tiny boundary
+    matmul over the first ceil((taps-1)/stride) outputs (same scheme as
+    ops/ingestfir.py).  The boundary dot runs in f32 (the XLA path
+    truncates the carried tail to bf16 inside the windows; this is
+    slightly tighter, inside every parity tolerance).
+    """
+    taps = len(h_list[0])
+    t1 = taps - 1
+    xt = x[..., -t1:]
+    if pre == "square":
+        tail = xt * xt
+    elif pre == "mul2":
+        tail = 2.0 * xt * x2[..., -t1:]
+    else:
+        tail = xt
+    ys = list(fir_bank(x, h_list, stride, x2=x2, pre=pre))
+    nb = -(-t1 // stride)
+    mz = np.arange(nb)[:, None]
+    p = np.arange(t1)[None, :]
+    kz = t1 - p + mz * stride
+    validz = (kz >= 1) & (kz <= t1) & (p >= mz * stride)
+    for f, h in enumerate(h_list):
+        h64 = np.asarray(h, np.float64)
+        hz = jnp.asarray(np.where(validz, h64[np.clip(kz, 0, t1)], 0.0),
+                         jnp.float32)
+        b = jax.lax.dot_general(
+            zi, hz, dimension_numbers=(((zi.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ys[f] = ys[f].at[..., :nb].add(b)
+    return ys, tail
+
+
+def fir_block_pre(x, h, zi, pre: str, x2=None
+                  ) -> tuple[jax.Array, jax.Array]:
+    """``fir_block`` over an elementwise pre-op of x, pre-op fused
+    in-kernel when the shapes allow (the reference's C10 squaring+FIR /
+    C11 mixer+FIR fusions, src/filter.cpp:342-401); otherwise falls back
+    to the XLA path on the materialized signal."""
+    taps = len(h)
+    if (jax.default_backend() == "tpu" and x.ndim == 2
+            and x.dtype == jnp.float32 and eligible(x, taps, 1)):
+        ys, new_zi = fir_bank_carried(x, [h], zi, 1, x2=x2, pre=pre)
+        return ys[0], new_zi
+    from rtsdr_tpu.ops.fir import fir_block
+
+    xp = x * x if pre == "square" else 2.0 * x * x2
+    return fir_block(xp, h, zi)
+
+
+def fir_bank(x, h_list, stride: int = 1, x2=None, pre: str = "none",
+             block: int | None = None) -> list[jax.Array]:
+    """F same-length filters over one (c, n) f32 input, fused windows.
+
+    Returns F arrays (c, n//stride); zero-state convolution (the caller
+    adds the overlap-save boundary term).  ``pre`` applies elementwise
+    before filtering: "square" -> x*x, "mul2" -> 2*x*x2.
+    """
+    taps = len(h_list[0])
+    assert all(len(h) == taps for h in h_list)
+    block = block or (256 if stride == 1 else 128)
+    hw = -(-(taps - 1) // 128) * 128
+    h_mat = jnp.asarray(_banded_h(h_list, block, stride, hw),
+                        jnp.bfloat16)
+    c = x.shape[0]
+    tile_c = 128 if c % 128 == 0 else (64 if c % 64 == 0 else 32)
+    return _pallas_fir(x, x if x2 is None else x2, h_mat, stride, block,
+                       tile_c, hw, pre)

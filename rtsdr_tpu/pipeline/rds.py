@@ -109,8 +109,10 @@ def make_rds(cfg: ReceiverConfig, pll_impl: str = "auto"):
         if nco_pre is not None:
             nco_i, nco_q, pll_state, squared_zi = nco_pre
         else:
-            pre_pll, squared_zi = fir_block(extract * extract, squared_h,
-                                            state.squared_zi)
+            from rtsdr_tpu.ops.pallas_fir import fir_block_pre
+
+            pre_pll, squared_zi = fir_block_pre(extract, squared_h,
+                                                state.squared_zi, "square")
             nco_i, nco_q, pll_state = pll(
                 pre_pll, state.pll, freq=pcfg.freq, fs=if_fs,
                 nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,

@@ -104,7 +104,7 @@ def make_receiver(
         import numpy as _np
 
         from rtsdr_tpu.ops import coeffs
-        from rtsdr_tpu.ops.fir import fir_block
+        from rtsdr_tpu.ops.fir import fir_block  # noqa: F401 (kept for non-fused paths)
         from rtsdr_tpu.ops.pll import pll
 
         if_fs = cfg.rf.if_fs
@@ -169,8 +169,11 @@ def make_receiver(
             pilot, chan, extract = (bank[..., 0, :], bank[..., 1, :],
                                     bank[..., 2, :])
             if fuse_pll:
-                pre_pll, squared_zi = fir_block(extract * extract, squared_h,
-                                                state.rds.squared_zi)
+                from rtsdr_tpu.ops.pallas_fir import fir_block_pre
+
+                pre_pll, squared_zi = fir_block_pre(extract, squared_h,
+                                                    state.rds.squared_zi,
+                                                    "square")
                 pair = jnp.stack([pilot, pre_pll], axis=0)
                 st2 = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=0),
                                    state.audio.pll, state.rds.pll)

@@ -1,0 +1,96 @@
+"""Fused-window Pallas FIR bank (interpret mode on CPU).
+
+The kernel mimics the TPU MXU's default-precision bf16 operand
+truncation, so comparisons against the f32 XLA path use a bf16-scale
+tolerance; state-carry seams are checked pallas-vs-pallas (exact).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtsdr_tpu.ops import coeffs
+from rtsdr_tpu.ops.fir import fir_block, fir_decimate
+from rtsdr_tpu.ops.pallas_fir import eligible, fir_bank_carried
+
+BANK_H = [coeffs.bandpass_taps(240e3, 18.5e3, 19.5e3, 151),
+          coeffs.bandpass_taps(240e3, 22e3, 54e3, 151),
+          coeffs.bandpass_taps(240e3, 54e3, 60e3, 151)]
+AUDIO_H = coeffs.lowpass_taps(240e3, 16e3, 101)
+
+
+def _bf16_tol(y):
+    return 2e-2 * float(np.max(np.abs(y))) + 1e-6
+
+
+def test_bank_matches_fir_block(rng):
+    c, n = 32, 2560
+    x = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+    zi = jnp.asarray(rng.standard_normal((c, 150)).astype(np.float32))
+    assert eligible(x, 151, 1)
+    ys, new_zi = fir_bank_carried(x, BANK_H, zi, 1)
+    for f, h in enumerate(BANK_H):
+        ref, ref_zi = fir_block(x, h, zi)
+        np.testing.assert_allclose(np.asarray(ys[f]), np.asarray(ref),
+                                   rtol=0, atol=_bf16_tol(ref))
+        assert np.array_equal(np.asarray(new_zi), np.asarray(ref_zi))
+
+
+@pytest.mark.parametrize("pre", ["square", "mul2"])
+def test_bank_preops(rng, pre):
+    c, n = 32, 2560
+    x = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+    zi = jnp.asarray(rng.standard_normal((c, 150)).astype(np.float32))
+    ys, new_zi = fir_bank_carried(x, [BANK_H[2]], zi, 1, x2=x2, pre=pre)
+    xp = x * x if pre == "square" else 2.0 * x * x2
+    ref, ref_zi = fir_block(xp, BANK_H[2], zi)
+    np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(ref),
+                               rtol=0, atol=_bf16_tol(ref))
+    np.testing.assert_allclose(np.asarray(new_zi), np.asarray(ref_zi),
+                               rtol=0, atol=1e-6)
+
+
+def test_bank_decimating(rng):
+    c, n = 32, 5 * 1280
+    x = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+    zi = jnp.asarray(rng.standard_normal((c, 100)).astype(np.float32))
+    assert eligible(x, 101, 5)
+    ys, new_zi = fir_bank_carried(x, [AUDIO_H], zi, 5)
+    ref, ref_zi = fir_decimate(x, AUDIO_H, zi, 5)
+    np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(ref),
+                               rtol=0, atol=_bf16_tol(ref))
+    assert np.array_equal(np.asarray(new_zi), np.asarray(ref_zi))
+
+
+def test_bank_block_seam(rng):
+    """Two chained blocks == one double-length block.
+
+    Seam outputs differ only at bf16 operand scale: the chained run
+    applies the carried tail via the f32 boundary matmul, the one-shot
+    run sees those samples through the bf16 in-kernel window (the XLA
+    banded path has the same property with roles reversed)."""
+    c, n = 32, 2560
+    x1 = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+    zi0 = jnp.zeros((c, 150), jnp.float32)
+    y1, zi = fir_bank_carried(x1, [BANK_H[0]], zi0, 1)
+    y2, _ = fir_bank_carried(x2, [BANK_H[0]], zi, 1)
+    chained = np.concatenate([np.asarray(y1[0]), np.asarray(y2[0])],
+                             axis=-1)
+    y_full, _ = fir_bank_carried(jnp.concatenate([x1, x2], axis=-1),
+                                 [BANK_H[0]], zi0, 1)
+    full = np.asarray(y_full[0])
+    np.testing.assert_allclose(chained, full, rtol=0, atol=_bf16_tol(full))
+    # away from the carry region the windows are identical -> f32-exact
+    np.testing.assert_allclose(chained[:, 256:n], full[:, 256:n],
+                               rtol=0, atol=2e-5)
+
+
+def test_ineligible_shapes(rng):
+    x = jnp.zeros((31, 2560), jnp.float32)       # c % 32 != 0
+    assert not eligible(x, 151, 1)
+    x = jnp.zeros((32, 2560 + 128), jnp.float32)  # m % block != 0
+    assert not eligible(x, 151, 1)
+    x = jnp.zeros((32, 2560), jnp.float64)        # dtype
+    assert not eligible(x, 151, 1)
