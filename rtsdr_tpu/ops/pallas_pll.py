@@ -9,47 +9,36 @@ fast without changing the math:
    ``atan2(-x sin a, x cos a)`` is exactly ``wrap_pi(-a)`` for x>0,
    ``wrap_pi(pi-a)`` for x<0, and 0 for x==0 — a select plus a wrap.
 
-2. **No transcendental is inside the loop at all.**  With (1), the
-   recurrence is pure add/mul/mod; the NCO outputs
-   ``cos/sin(arg*scale + adjust)`` depend on the arg *sequence* but never
-   feed back, so they run afterwards as one batched pass XLA fuses.
-
-3. **Only (integrator, phase) actually recur.**  The NCO ramp
-   ``theta_j = theta0 + (j+1)*dtheta mod 4pi`` is an affine sequence —
-   precomputed outside from a per-config host table (float64 products, so
-   no catastrophic j*dtheta rounding).  The loop reads the raw input and
-   the theta-prev stream; sign/mask/offset prep is data-parallel and sits
-   OFF the sequential dependency chain, leaving a 2-row recurrence
-   (with ``kq = kp + ki`` folding ``phase += kp*e + integ_new`` into
-   old-integ form)::
+2. **Only (integrator, phase) actually recur.**  Sign/mask/offset prep,
+   the NCO ramp theta, and the cos/sin synthesis are all data-parallel
+   and sit OFF the sequential dependency chain — and because the loop is
+   latency-bound, not issue-bound (time = chain depth x op latency, with
+   most VPU issue slots idle), that off-chain work is nearly free: it
+   hides in the bubbles.  The 2-row recurrence (``kq = kp + ki`` folds
+   ``phase += kp*e + integ_new`` into old-integ form)::
 
        t     = wrap_pi(off - theta_prev - phase)
        integ += (m*ki) * t
        phase  = (phase + integ_old) + (m*kq) * t
 
-   whose phase->phase critical path is ~6 dependent VPU ops (the loop is
-   latency-bound, not issue-bound: op count barely matters, chain depth
-   is time).  The per-step ``mod 4pi`` is gone — the carry wraps once per
-   8-step group, and the emitted phase stream is wrapped vectorized
-   outside (exact up to fp re-association: values differ from the
-   per-step-wrapped ones by multiples of 4pi).  NCO arguments rebuild
-   outside as ``arg_j = theta_j + phase_j``.
+   has a phase->phase critical path of ~6 dependent VPU ops.  The
+   per-step ``mod 4pi`` is deferred: the carry wraps once per 8-step
+   group (values differ from the per-step-wrapped ones by exact
+   multiples of 4pi).
 
-Layout: streams transposed to (N, C) with channels in the lane dimension;
-the loop walks 8 time-steps per iteration (one aligned (8, C) load/store,
-eight register-resident sub-steps); the grid walks N in VMEM-sized chunks
-with Pallas double-buffering the DMA.  Numerically equivalent to
-``ops.pll.pll`` (same update order, same wrapping semantics; float32).
-
-Two measured-on-v5e variants of the phase update (Mosaic schedules them
-differently at different lane counts):
-
-* ``v3b`` (lanes <= 512): distributed form ``(pi_pre + b*z) - (2pi*b)*r``
-  — chain ~5; fastest at partial-vreg lane counts (0.68 ms / 512 lanes /
-  15360 steps).
-* ``v3`` (lanes > 512): factored form ``pi_pre + b*t`` with vector
-  constants — 0.96 ms at 1024 lanes (the receiver's fused stereo+RDS
-  pair at 512 channels), vs 4.5 ms for the v2 kernel.
+3. **The whole stage lives in one kernel (v4).**  The v3 kernel emitted
+   a phase stream and left the NCO synthesis, theta streams, delay
+   concatenates and (N, C) layout transposes to XLA — ~1 ms/step of HBM
+   round-trips around a ~1 ms loop at 512 channels (seen in optimized
+   HLO).  v4 does everything in-kernel: inputs arrive channel-major and
+   transpose in VMEM, theta_prev rebuilds from a per-8-step-group
+   float64 host table (``P_g + r*dtheta``, r < 8 — exact product, one
+   wrap; no (N, C) theta stream), cos/sin run per 8-row group inside the
+   loop body (bitwise-identical lowering to XLA's, verified), the
+   delayed-by-one output view is a carried row, and the NCO streams
+   transpose back on write-out.  HBM traffic is x in + two NCO streams
+   out — nothing else.  Measured (v5e, same-process A/B, fused
+   stereo+RDS pair at 512 channels): full stage 3.90 -> 1.08 ms.
 
 ``dtheta`` must be uniform over contiguous lane spans (true for every
 production call — single config, or the receiver's axis-0-stacked
@@ -76,7 +65,7 @@ _PI = math.pi
 _TWO_PI = 2.0 * math.pi
 _INV_TWO_PI = 1.0 / _TWO_PI
 _LANES = 128
-_MAX_SPANS = 32  # v2 eligibility: distinct-dtheta lane spans
+_MAX_SPANS = 32  # v4 eligibility: distinct-dtheta lane spans
 
 
 def _wrap_pi(z):
@@ -84,63 +73,119 @@ def _wrap_pi(z):
     return z - _TWO_PI * jnp.round(z * (1.0 / _TWO_PI))
 
 
-def _kernel(x_ref, thp_ref, s_ref, ph_ref, s_out_ref, carry, *, chunk,
-            kq, ki, variant):
-    """2-row recurrence; sign/mask/offset prep is off the critical chain.
+def _kernel_v4(x_ref, p_ref, s_ref, ni_ref, nq_ref, s_out_ref, carry,
+               xt, ni, nq, *, chunk, kq, ki, delayed):
+    """v4: the whole PLL stage in one kernel — layout transposes, theta
+    reconstruction, the 2-row recurrence, NCO cos/sin synthesis and the
+    delayed-by-one output all live here.
 
-    carry rows: 0 integrator, 1 phase; rows 2/3 hold per-lane kq/ki when
-    they vary (``kq is None``), otherwise kq/ki are compiled-in scalars.
-    ``kq = kp + ki`` (the phase update in old-integ form).
+    v3 left ~1 ms/step of XLA glue around the 0.96 ms loop at 512
+    channels (time-major transposes of x and both NCO streams, the
+    (N, C) theta-prev stream, the wrap + theta add, the cos/sin pass,
+    and the delay concatenates — each a full HBM round-trip, seen in the
+    optimized HLO).  Here HBM traffic is x in + 2 NCO streams out, and
+    the trig runs in the recurrence's latency bubbles (the loop is
+    chain-latency-bound, so off-chain vector work is nearly free).
+
+    theta_prev rebuilds from a per-8-row-group float64 host table
+    (``p_ref`` rows: theta at the group's first step) plus ``r*dtheta``
+    (r < 8, exact product; one wrap).  Inputs arrive channel-major
+    (C, chunk) and transpose in VMEM; NCO accumulates time-major and
+    transposes back on write-out.
+
+    carry rows: 0 integ, 1 phase, 2/3 delayed nco i/q carry.
+    s_ref rows: 0 integ0, 1 phase0, 2 kq, 3 ki, 4 theta-prev override
+    (arg0 - phase0, used only at the very first step), 5/6 nco i/q
+    carry-in, 7 dtheta, 8 nco_scale, 9 phase_adjust.
     """
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        carry[:] = s_ref[:]
+    first = pl.program_id(0) == 0
 
+    @pl.when(first)
+    def _():
+        carry[0, :] = s_ref[0, :]
+        carry[1, :] = s_ref[1, :]
+        carry[2, :] = s_ref[5, :]
+        carry[3, :] = s_ref[6, :]
+
+    xt[...] = x_ref[...].T
     integ0, phase0 = carry[0, :], carry[1, :]
+    nco_i0, nco_q0 = carry[2, :], carry[3, :]
     if kq is None:
-        kq_v, ki_v = carry[2, :], carry[3, :]
+        kq_v, ki_v = s_ref[2, :], s_ref[3, :]
     else:
         kq_v, ki_v = kq, ki
+    dth = s_ref[7, :]
+    scale_v = s_ref[8, :]
+    adjust_v = s_ref[9, :]
+    ovr = s_ref[4, :]
+    f_first = jnp.float32(first)
 
-    def body(j, c):
-        integ, phase = c
-        base = pl.multiple_of(j * 8, 8)
-        xb = x_ref[pl.ds(base, 8), :]
-        tb = thp_ref[pl.ds(base, 8), :]
-        rows = []
+    def body(g, c):
+        integ, phase, ci_, cq_ = c
+        base = pl.multiple_of(g * 8, 8)
+        xb = xt[pl.ds(base, 8), :]
+        pg = p_ref[g, :]
+        rows_i, rows_q = [], []
         for r in range(8):
-            # prep (independent of phase/integ — hides in latency bubbles):
-            # select-free detector, s=sign(x): m zeroes e at x==0, off adds
-            # pi for x<0 (jnp.where on 1-D vectors is pathological in
-            # Mosaic, so arithmetic masks)
+            # --- prep, all off the phase->phase chain ---
+            tp = pg + jnp.float32(r) * dth if r else pg
+            tp = tp - _FOUR_PI * jnp.floor(tp * (1.0 / _FOUR_PI))
+            if r == 0:
+                # very first step: feedback argument replaces theta_prev
+                f = f_first * jnp.float32(g == 0)
+                tp = f * ovr + (1.0 - f) * tp
             s = jnp.sign(xb[r, :])
             m = s * s
-            w = (_PI * 0.5) * (1.0 - s) - tb[r, :]
+            w = (_PI * 0.5) * (1.0 - s) - tp
             b = m * kq_v
             a = m * ki_v
             pi_pre = phase + integ
-            # critical chain: z -> (round) -> phase'
+            # --- critical chain (identical to v3) ---
             z = w - phase
             rr = jnp.round(z * _INV_TWO_PI)
             t = z - _TWO_PI * rr
             integ = integ + a * t
-            if variant == "v3":
-                phase = pi_pre + b * t
-            else:  # v3b: distributed — one dependent op shorter
-                phase = (pi_pre + b * z) - (_TWO_PI * b) * rr
-            rows.append(phase)
-        phase = jnp.mod(phase, _FOUR_PI)  # wrap once per 8-step group
-        ph_ref[pl.ds(base, 8), :] = jnp.stack(rows)
-        return (integ, phase)
+            phase = pi_pre + b * t
+            # --- NCO synthesis, off-chain (hides in the bubbles) ---
+            th_j = pg + jnp.float32(r + 1) * dth
+            th_j = th_j - _FOUR_PI * jnp.floor(th_j * (1.0 / _FOUR_PI))
+            ph_m = phase - _FOUR_PI * jnp.floor(phase * (1.0 / _FOUR_PI))
+            na = (th_j + ph_m) * scale_v + adjust_v
+            i_new = jnp.cos(na)
+            q_new = jnp.sin(na)
+            if delayed:
+                rows_i.append(ci_)
+                rows_q.append(cq_)
+                ci_, cq_ = i_new, q_new
+            else:
+                rows_i.append(i_new)
+                rows_q.append(q_new)
+                ci_, cq_ = i_new, q_new
+        phase = jnp.mod(phase, _FOUR_PI)
+        ni[pl.ds(base, 8), :] = jnp.stack(rows_i)
+        nq[pl.ds(base, 8), :] = jnp.stack(rows_q)
+        return (integ, phase, ci_, cq_)
 
-    integ, phase = jax.lax.fori_loop(0, chunk // 8, body, (integ0, phase0))
+    integ, phase, ci_, cq_ = jax.lax.fori_loop(
+        0, chunk // 8, body, (integ0, phase0, nco_i0, nco_q0))
 
     carry[0, :] = integ
     carry[1, :] = phase
+    carry[2, :] = ci_
+    carry[3, :] = cq_
+    ni_ref[...] = ni[...].T
+    nq_ref[...] = nq[...].T
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
-        s_out_ref[:] = carry[:]
+        s_out_ref[0, :] = integ
+        s_out_ref[1, :] = phase
+        s_out_ref[2, :] = ci_
+        s_out_ref[3, :] = cq_
+        s_out_ref[4, :] = integ
+        s_out_ref[5, :] = integ
+        s_out_ref[6, :] = integ
+        s_out_ref[7, :] = integ
 
 
 def _kernel_theta(x_ref, s_ref, arg_ref, s_out_ref, carry, *, chunk):
@@ -239,10 +284,6 @@ def pll_pallas(
             raise ValueError(f"PLL block length {n} must have a divisor "
                              "that is a multiple of 8")
 
-    xt = x.reshape(c_real, n).T  # (N, C_real)
-    if c != c_real:
-        xt = jnp.pad(xt, ((0, 0), (0, c - c_real)))
-
     cp, ci = 2.666, 3.555
     # loop constants per lane (float64 host math, then cast — matches the
     # scan implementation's rounding); scalars broadcast, arrays fuse
@@ -261,15 +302,18 @@ def pll_pallas(
         batch_shape).reshape(c_real)
     spans = _dtheta_spans(dtheta64)
 
-    kern_args = None
-    if len(spans) <= _MAX_SPANS:
-        kern_args = _call_v2(xt, state, kp_np, ki_np, spans, n, c, c_real,
-                             chunk, dtype, batch_shape, interpret)
-    else:
-        kern_args = _call_theta(xt, state, kp_np, ki_np,
-                                dtheta64.astype(np_t), n, c, c_real, chunk,
-                                dtype, batch_shape, interpret)
-    args_t, unpack = kern_args
+    if len(spans) <= _MAX_SPANS and n % 8 == 0:
+        # fully-fused path: NCO synthesis, delay and transposes in-kernel
+        return _call_v4(x.reshape(c_real, n), state, kp_np, ki_np, spans,
+                        nco_scale, phase_adjust, n, c, c_real, dtype,
+                        batch_shape, interpret, delay_output, np_t)
+
+    xt = x.reshape(c_real, n).T  # (N, C_real)
+    if c != c_real:
+        xt = jnp.pad(xt, ((0, 0), (0, c - c_real)))
+    args_t, unpack = _call_theta(xt, state, kp_np, ki_np,
+                                 dtheta64.astype(np_t), n, c, c_real, chunk,
+                                 dtype, batch_shape, interpret)
 
     # batched NCO synthesis — the transcendentals, fully vectorized;
     # nco_scale / phase_adjust broadcast per lane like the loop constants
@@ -299,88 +343,117 @@ def pll_pallas(
     return nco_i, nco_q, new_state
 
 
-def _call_v2(xt, state, kp_np, ki_np, spans, n, c, c_real, chunk, dtype,
-             batch_shape, interpret):
-    """Precomputed-theta kernel: returns ((N, C) args, unpack_state)."""
-    # theta ramp per span from a float64 host table (values < 4pi, so the
-    # in-graph add+mod is exact to one ulp — no j*dtheta blow-up)
-    j1 = np.arange(1, n + 1, dtype=np.float64)
+def _call_v4(x2d, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
+             n, c, c_real, dtype, batch_shape, interpret, delay_output,
+             np_t):
+    """Fully-fused kernel path: channel-major in/out, no XLA glue.
+
+    Returns (nco_i, nco_q, new_state) shaped like ``ops.pll.pll``."""
+    x_cm = x2d if c == c_real else jnp.pad(x2d, ((0, c - c_real), (0, 0)))
+
+    # per-8-step-group theta table (N/8, C) from float64 host ramps
+    # (theta at the group's first step j=8g: mod(theta0 + 8g*dth, 4pi));
+    # rows r<8 rebuild in-kernel as P_g + r*dth (exact product, one wrap)
+    g8 = 8.0 * np.arange(n // 8, dtype=np.float64)
     theta0 = state.theta.reshape(c_real).astype(dtype)
     cols = []
+    ends = []
     for (s0, s1, dth) in spans:
-        table = jnp.asarray(np.mod(j1 * dth, 4.0 * np.pi), dtype)
+        table = jnp.asarray(np.mod(g8 * dth, 4.0 * np.pi), dtype)
         cols.append(jnp.mod(theta0[s0:s1][None, :] + table[:, None],
                             _FOUR_PI))
-    theta_seq = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+        end64 = float(np.mod(n * dth, 4.0 * np.pi))
+        ends.append(jnp.mod(theta0[s0:s1] + jnp.asarray(end64, dtype),
+                            _FOUR_PI))
+    p_seq = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+    theta_end = ends[0] if len(ends) == 1 else jnp.concatenate(ends)
     if c != c_real:
-        theta_seq = jnp.pad(theta_seq, ((0, 0), (0, c - c_real)))
+        p_seq = jnp.pad(p_seq, ((0, 0), (0, c - c_real)))
 
-    # theta-prev stream; the j=0 row folds the carried feedback argument
-    # arg0 in place of theta_{-1} + phase0 (e_0 = m*wrap_pi(-arg0 + off_0))
     arg0 = jnp.arctan2(state.fb_q, state.fb_i).reshape(c_real).astype(dtype)
     phase0 = state.phase_est.reshape(c_real).astype(dtype)
-    th_prev0 = arg0 - phase0
-    if c != c_real:
-        th_prev0 = jnp.pad(th_prev0, (0, c - c_real))
-    theta_prev = jnp.concatenate([th_prev0[None, :], theta_seq[:-1, :]],
-                                 axis=0)
+    ovr0 = arg0 - phase0
 
     kq_np = kp_np + ki_np
     uniform = np.ptp(kq_np) == 0 and np.ptp(ki_np) == 0
-    # measured (v5e): scalar constants + distributed update fastest at
-    # partial/full-single-vreg lanes; vector constants + factored update
-    # at wider fused calls (see module docstring)
-    variant = "v3b" if c <= 512 else "v3"
     use_scalar = uniform and c <= 512
     kq = float(kq_np[0]) if use_scalar else None
     ki = float(ki_np[0]) if use_scalar else None
+
+    def lane_row(v):
+        arr = np.broadcast_to(np.asarray(v, np_t), batch_shape)
+        return np.ascontiguousarray(arr.reshape(c_real), np_t)
 
     def pad_row(a):
         r = jnp.asarray(a, dtype)
         return jnp.pad(r, (0, c - c_real)) if c != c_real else r
 
-    integ0 = state.integrator.reshape(c_real).astype(dtype)
-    rows = [pad_row(integ0), pad_row(phase0), pad_row(kq_np),
-            pad_row(ki_np)]
+    dtheta_row = np.empty(c_real, np_t)
+    for (s0, s1, dth) in spans:
+        dtheta_row[s0:s1] = np_t(dth)
+    rows = [pad_row(state.integrator.reshape(c_real)),
+            pad_row(phase0), pad_row(kq_np), pad_row(ki_np),
+            pad_row(ovr0),
+            pad_row(state.nco_i.reshape(c_real)),
+            pad_row(state.nco_q.reshape(c_real)),
+            pad_row(dtheta_row),
+            pad_row(lane_row(nco_scale)),
+            pad_row(lane_row(phase_adjust))]
     s_in = jnp.concatenate(
-        [jnp.stack(rows), jnp.zeros((4, c), dtype)], axis=0)
+        [jnp.stack(rows), jnp.zeros((6, c), dtype)], axis=0)
 
-    kern = partial(_kernel, chunk=chunk, kq=kq, ki=ki, variant=variant)
-    phases, s_out = pl.pallas_call(
+    # VMEM: ~9 (chunk, C) f32 buffers (x + 2 outs double-buffered,
+    # 3 scratches, transpose working set) kept under ~9 MB
+    chunk = min(512, max(8, (9 * 1024 * 1024) // (36 * c) // 8 * 8))
+    chunk = next((s for s in range(min(chunk, n), 7, -1)
+                  if n % s == 0 and s % 8 == 0), 8)
+
+    kern = partial(_kernel_v4, chunk=chunk, kq=kq, ki=ki,
+                   delayed=delay_output)
+    ni, nq, s_out = pl.pallas_call(
         kern,
         grid=(n // chunk,),
         in_specs=[
-            pl.BlockSpec((chunk, c), lambda i: (i, 0),
+            pl.BlockSpec((c, chunk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, c), lambda i: (i, 0),
+            pl.BlockSpec((chunk // 8, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((chunk, c), lambda i: (i, 0),
+            pl.BlockSpec((c, chunk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, c), dtype),
+            jax.ShapeDtypeStruct((c, n), dtype),
+            jax.ShapeDtypeStruct((c, n), dtype),
             jax.ShapeDtypeStruct((8, c), dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((8, c), dtype)],
+        scratch_shapes=[pltpu.VMEM((8, c), dtype),
+                        pltpu.VMEM((chunk, c), dtype),
+                        pltpu.VMEM((chunk, c), dtype),
+                        pltpu.VMEM((chunk, c), dtype)],
         interpret=interpret,
-    )(xt, theta_prev, s_in)
+    )(x_cm, p_seq, s_in)
 
-    # the kernel defers the per-step mod to one vectorized pass here
-    # (values differ by exact multiples of 4pi from the per-step form)
-    args_t = theta_seq + jnp.mod(phases, _FOUR_PI)
-
-    def unpack():
-        integ_end = s_out[0, :c_real].reshape(batch_shape)
-        phase_end = s_out[1, :c_real].reshape(batch_shape)
-        theta_end = theta_seq[-1, :c_real].reshape(batch_shape)
-        arg_end = theta_end + phase_end
-        return integ_end, phase_end, arg_end, theta_end
-
-    return args_t, unpack
+    nco_i = ni[:c_real].reshape(*batch_shape, n)
+    nco_q = nq[:c_real].reshape(*batch_shape, n)
+    integ_end = s_out[0, :c_real].reshape(batch_shape)
+    phase_end = s_out[1, :c_real].reshape(batch_shape)
+    nco_i_last = s_out[2, :c_real].reshape(batch_shape)
+    nco_q_last = s_out[3, :c_real].reshape(batch_shape)
+    theta_end = theta_end.reshape(batch_shape)
+    arg_end = theta_end + phase_end
+    new_state = PLLState(
+        integrator=integ_end, phase_est=phase_end,
+        fb_i=jnp.cos(arg_end), fb_q=jnp.sin(arg_end),
+        nco_i=nco_i_last, nco_q=nco_q_last, theta=theta_end)
+    return nco_i, nco_q, new_state
 
 
 def _call_theta(xt, state, kp_np, ki_np, dtheta_np, n, c, c_real, chunk,
