@@ -131,13 +131,27 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
                 delay_output=cfg.stereo.nco_delay)
 
         # mix the stereo channel to baseband; then mono and stereo share
-        # the same 16 kHz resampler taps, so both run as one stacked call
-        mixed = 2.0 * chan * nco
-        pair = jnp.stack([fm, mixed], axis=-2)
-        pair_zi = jnp.stack([state.mono_zi, state.stereo_zi], axis=-2)
-        ys, zi2 = fir_resample(pair, mono_h, pair_zi, up, down)
-        mono, stereo = ys[..., 0, :], ys[..., 1, :]
-        mono_zi, stereo_zi = zi2[..., 0, :], zi2[..., 1, :]
+        # the same 16 kHz resampler taps.  On TPU (mode-0 shapes) the
+        # mixer fuses INTO the decimating filter kernel (the reference's
+        # C11 fusion, src/filter.cpp:373-401) and neither the mixed
+        # stream nor a stacked pair ever materializes; elsewhere both
+        # run as one stacked resampler call.
+        from rtsdr_tpu.ops import pallas_fir
+
+        if (jax.default_backend() == "tpu" and up == 1 and fm.ndim == 2
+                and fm.dtype == jnp.float32
+                and pallas_fir.eligible(fm, taps, down)):
+            (mono,), mono_zi = pallas_fir.fir_bank_carried(
+                fm, [mono_h], state.mono_zi, down)
+            (stereo,), stereo_zi = pallas_fir.fir_bank_carried(
+                chan, [mono_h], state.stereo_zi, down, x2=nco, pre="mul2")
+        else:
+            mixed = 2.0 * chan * nco
+            pair = jnp.stack([fm, mixed], axis=-2)
+            pair_zi = jnp.stack([state.mono_zi, state.stereo_zi], axis=-2)
+            ys, zi2 = fir_resample(pair, mono_h, pair_zi, up, down)
+            mono, stereo = ys[..., 0, :], ys[..., 1, :]
+            mono_zi, stereo_zi = zi2[..., 0, :], zi2[..., 1, :]
 
         left = 0.5 * (mono + stereo)
         right = 0.5 * (mono - stereo)

@@ -41,7 +41,7 @@ def main() -> int:
     state = init_fn()
     step = jax.jit(step_fn)
     bs = MODE0.block_size
-    syncs, audio = [], []
+    syncs, audio, audio_r = [], [], []
     for b in range(4):
         blk = np.broadcast_to(iq[b * bs:(b + 1) * bs], (c, bs))
         state, out = step(state, jnp.asarray(blk))
@@ -53,20 +53,31 @@ def main() -> int:
         syncs += [(int(pos[w]), "ABCD"[sid[w] - 1])
                   for w in range(n_w) if sid[w] and ok[w]]
         left = np.asarray(out.left)
+        right = np.asarray(out.right)
         assert (left == left[:1]).all(), "channels diverge"
         audio.append(left[0])
+        audio_r.append(right[0])
 
     x = np.concatenate(audio)[MODE0.audio_len:]
+    xd = (np.concatenate(audio)
+          - np.concatenate(audio_r))[MODE0.audio_len:]
     t = np.arange(len(x)) / 48e3
-    amp = np.hypot(2 * np.mean(x * np.sin(2 * np.pi * 1.1e3 * t)),
-                   2 * np.mean(x * np.cos(2 * np.pi * 1.1e3 * t)))
+
+    def tone(sig, f):
+        return np.hypot(2 * np.mean(sig * np.sin(2 * np.pi * f * t)),
+                        2 * np.mean(sig * np.cos(2 * np.pi * f * t)))
+
+    amp = tone(x, 1.1e3)
+    amp_st = tone(xd, 2.3e3)
     spacings = np.diff([p for p, _ in syncs])
 
     print("syncs:", syncs)
     print(f"mono tone amp: {amp:.4f}  (expect ~0.44)")
+    print(f"stereo L-R tone amp: {amp_st:.4f}  (expect ~0.83)")
     assert len(syncs) >= 8, "too few syndromes"
     assert (spacings == 26).all(), f"bad spacings: {spacings}"
     assert 0.40 < amp < 0.49, "mono tone amplitude off"
+    assert 0.75 < amp_st < 0.92, "stereo tone amplitude off"
     print("batched TPU end-to-end decode: OK")
     return 0
 
