@@ -181,8 +181,10 @@ def ingest_fir_decimate(
                 else "s8" if on_tpu else "f32")
 
     if impl == "pallas":
+        from rtsdr_tpu.ops.pallas_fir import tile_channels
+
         c = raw_u8.shape[0]
-        tile_c = 128 if c % 128 == 0 else (64 if c % 64 == 0 else 32)
+        tile_c = tile_channels(c)
         head = 384
         span_k = head + block * stride_raw
         h_mat, s1 = _pallas_banded_h(h, block, stride_raw, head, span_k)
@@ -234,9 +236,7 @@ def ingest_fir_decimate(
     rows = np.broadcast_to(i_idx, s_even.shape)
 
     if use_s8:
-        s1 = 127.0 / np.abs(h).max()
-        h_hi = np.round(h * s1)
-        h_lo = np.round((h * s1 - h_hi) * 127.0)
+        h_hi, h_lo, s1 = _two_level_s8(h)
         h_mat = np.zeros((span, 4 * block), np.int8)
         for off, vals in ((0, h_hi), (2 * block, h_lo)):
             h_b = np.broadcast_to(vals, s_even.shape)

@@ -32,8 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fir_kernel(*refs, n_in: int, block: int, stride: int, hw: int,
-                n_f: int, pre: str):
+def _fir_kernel(*refs, block: int, n_f: int, pre: str):
     """refs = (x-head, x-A, [x2-head, x2-A,] H, out_0..out_{F-1})."""
     if pre == "mul2":
         ph, pa, qh, qa, h_ref = refs[:5]
@@ -87,8 +86,7 @@ def _pallas_fir(x, x2, h_mat, stride: int, block: int, tile_c: int,
     nblk = m // block
     a_w = block * stride
     n_f = h_mat.shape[1] // block
-    kern = functools.partial(_fir_kernel, n_in=n, block=block,
-                             stride=stride, hw=hw, n_f=n_f, pre=pre)
+    kern = functools.partial(_fir_kernel, block=block, n_f=n_f, pre=pre)
     ratio = a_w // hw
 
     def head_map(i, j):
@@ -122,13 +120,21 @@ def _pallas_fir(x, x2, h_mat, stride: int, block: int, tile_c: int,
     return outs
 
 
+def tile_channels(c: int) -> int:
+    """Channel (sublane/M) tile for the fused kernels; 0 if no tiling."""
+    for t in (128, 64, 32):
+        if c % t == 0:
+            return t
+    return 0
+
+
 def eligible(x, taps: int, stride: int, block: int | None = None) -> bool:
     """Shapes the fused kernel handles; callers fall back to XLA else."""
-    if x.ndim != 2 or x.dtype != jnp.float32:
+    if x.ndim != 2 or x.dtype != jnp.float32 or taps < 2:
         return False
     block = block or (256 if stride == 1 else 128)
     c, n = x.shape
-    if c % 32 or n % stride:
+    if not tile_channels(c) or n % stride:
         return False
     m = n // stride
     a_w = block * stride
@@ -206,6 +212,5 @@ def fir_bank(x, h_list, stride: int = 1, x2=None, pre: str = "none",
     h_mat = jnp.asarray(_banded_h(h_list, block, stride, hw),
                         jnp.bfloat16)
     c = x.shape[0]
-    tile_c = 128 if c % 128 == 0 else (64 if c % 64 == 0 else 32)
     return _pallas_fir(x, x if x2 is None else x2, h_mat, stride, block,
-                       tile_c, hw, pre)
+                       tile_channels(c), hw, pre)

@@ -273,17 +273,6 @@ def pll_pallas(
         c_real *= d
     c = max(_LANES, -(-c_real // _LANES) * _LANES)
 
-    # VMEM budget: 2 (chunk, C) streams + phases, double-buffered.
-    vmem_rows = max(8, (1024 * 1024) // (4 * c) // 8 * 8)
-    chunk = min(chunk, vmem_rows)
-    if n % chunk != 0 or chunk % 8 != 0:
-        # largest divisor of n that is a multiple of 8 and <= requested
-        chunk = next((s for s in range(min(chunk, n), 7, -1)
-                      if n % s == 0 and s % 8 == 0), None)
-        if chunk is None:
-            raise ValueError(f"PLL block length {n} must have a divisor "
-                             "that is a multiple of 8")
-
     cp, ci = 2.666, 3.555
     # loop constants per lane (float64 host math, then cast — matches the
     # scan implementation's rounding); scalars broadcast, arrays fuse
@@ -306,7 +295,8 @@ def pll_pallas(
         # fully-fused path: NCO synthesis, delay and transposes in-kernel
         return _call_v4(x.reshape(c_real, n), state, kp_np, ki_np, spans,
                         nco_scale, phase_adjust, n, c, c_real, dtype,
-                        batch_shape, interpret, delay_output, np_t)
+                        batch_shape, interpret, delay_output, np_t,
+                        lane_np)
 
     xt = x.reshape(c_real, n).T  # (N, C_real)
     if c != c_real:
@@ -345,7 +335,7 @@ def pll_pallas(
 
 def _call_v4(x2d, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
              n, c, c_real, dtype, batch_shape, interpret, delay_output,
-             np_t):
+             np_t, lane_np):
     """Fully-fused kernel path: channel-major in/out, no XLA glue.
 
     Returns (nco_i, nco_q, new_state) shaped like ``ops.pll.pll``."""
@@ -380,10 +370,6 @@ def _call_v4(x2d, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
     kq = float(kq_np[0]) if use_scalar else None
     ki = float(ki_np[0]) if use_scalar else None
 
-    def lane_row(v):
-        arr = np.broadcast_to(np.asarray(v, np_t), batch_shape)
-        return np.ascontiguousarray(arr.reshape(c_real), np_t)
-
     def pad_row(a):
         r = jnp.asarray(a, dtype)
         return jnp.pad(r, (0, c - c_real)) if c != c_real else r
@@ -397,8 +383,8 @@ def _call_v4(x2d, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
             pad_row(state.nco_i.reshape(c_real)),
             pad_row(state.nco_q.reshape(c_real)),
             pad_row(dtheta_row),
-            pad_row(lane_row(nco_scale)),
-            pad_row(lane_row(phase_adjust))]
+            pad_row(lane_np(nco_scale)),
+            pad_row(lane_np(phase_adjust))]
     s_in = jnp.concatenate(
         [jnp.stack(rows), jnp.zeros((6, c), dtype)], axis=0)
 
@@ -459,6 +445,16 @@ def _call_v4(x2d, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
 def _call_theta(xt, state, kp_np, ki_np, dtheta_np, n, c, c_real, chunk,
                 dtype, batch_shape, interpret):
     """Legacy in-loop-theta kernel for arbitrary per-lane dtheta."""
+    # VMEM budget: 2 (chunk, C) streams + phases, double-buffered;
+    # chunk must divide n and be a multiple of 8
+    vmem_rows = max(8, (1024 * 1024) // (4 * c) // 8 * 8)
+    chunk = min(chunk, vmem_rows)
+    if n % chunk != 0 or chunk % 8 != 0:
+        chunk = next((s for s in range(min(chunk, n), 7, -1)
+                      if n % s == 0 and s % 8 == 0), None)
+        if chunk is None:
+            raise ValueError(f"PLL block length {n} must have a divisor "
+                             "that is a multiple of 8")
     kp_v, ki_v, dtheta_v = (jnp.asarray(a, dtype)
                             for a in (kp_np, ki_np, dtheta_np))
 

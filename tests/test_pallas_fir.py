@@ -94,3 +94,5 @@ def test_ineligible_shapes(rng):
     assert not eligible(x, 151, 1)
     x = jnp.zeros((32, 2560), jnp.float64)        # dtype
     assert not eligible(x, 151, 1)
+    x = jnp.zeros((32, 2560), jnp.float32)        # 1-tap filter (hw = 0)
+    assert not eligible(x, 1, 1)
