@@ -98,6 +98,117 @@ def pfb_channelize(
     return y.astype(x.dtype), new_zi.astype(zi.dtype)
 
 
+def channelizer_zi_u8(n_channels: int, taps: int,
+                      batch_shape: tuple = ()) -> jax.Array:
+    """Zero initial state for the raw-byte path: value-128 bytes
+    (normalize to 0 — equal to the complex path's zero tail)."""
+    t = -(-taps // n_channels)
+    l_zi = t * n_channels + n_channels - 1
+    return jnp.full((*batch_shape, 2 * l_zi), 128, jnp.uint8)
+
+
+def pfb_channelize_u8(
+    raw_u8: jax.Array,
+    h,
+    zi_raw: jax.Array,
+    n_channels: int,
+    block: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """K-channel PFB straight from interleaved uint8 IQ bytes.
+
+    The mix + prototype LPF + decimate-by-K for ALL K channels and both
+    quadratures is ONE banded matmul over the raw byte stream: the
+    length-K inverse DFT across polyphase branches folds into the
+    filter matrix (channel k's complex taps are h[n]*exp(2j*pi*n*k/K)),
+    and the (b-128)/128 normalization folds into the matrix values, so
+    neither a float copy of the wideband stream, nor phase planes, nor
+    any complex intermediate ever materializes.  Output-equivalent to
+    normalize -> complex -> ``pfb_channelize`` (float32 rounding only;
+    the t-term complex FMA chain of that path re-reads its (M, K)
+    planes t times — tens of ms per step at production widths on v5e).
+
+    raw_u8: (..., 2*N) interleaved IQ; zi_raw: (..., 2*(t*K + K - 1))
+    carried byte tail (prepend-halo streaming; start from
+    ``channelizer_zi_u8``).  Returns ((..., K, 2, M) float32 stacked
+    I/Q at the channel rate — the receivers' 'iq' frontend input — and
+    the new byte tail).
+    """
+    k = n_channels
+    h64 = np.asarray(h, np.float64)
+    taps = h64.shape[0]
+    t = -(-taps // k)
+    if taps < t * k:
+        h64 = np.pad(h64, (0, t * k - taps))
+    l_zi = t * k + k - 1
+    assert zi_raw.shape[-1] == 2 * l_zi
+    n = raw_u8.shape[-1] // 2
+    assert n % k == 0
+    m_out = n // k
+    assert m_out % block == 0, "use pfb_channelize for ragged lengths"
+    assert t <= block + 1, "window must fit two stride slabs"
+    nblk = m_out // block
+    batch = raw_u8.shape[:-1]
+    span = 2 * k * (block - 1 + t)
+    stride = 2 * k * block
+    on_tpu = jax.default_backend() == "tpu"
+
+    # right-pad so both slabs reshape exactly (value 128 -> 0, and the
+    # pad rows multiply zero filter-matrix entries anyway); folding the
+    # pad into the zi concat keeps this to ONE copy of the stream
+    need = 2 * k + (nblk + 1) * stride
+    pad_n = max(0, need - 2 * l_zi - raw_u8.shape[-1])
+    x_ext = jnp.concatenate(
+        [zi_raw, raw_u8] + ([jnp.full((*batch, pad_n), 128, jnp.uint8)]
+                            if pad_n else []), axis=-1)
+
+    def norm(b):
+        if on_tpu:
+            return b.astype(jnp.bfloat16) - 128.0
+        return (b.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
+
+    # windows[s] = x_ext[2k + s*stride : + span]: span <= 2*stride, so
+    # two shifted stride-row slabs cover every window — the per-block
+    # stack-of-slices form emits thousands of slice ops at these block
+    # counts (nblk ~ 1e4 at production widths) and dominated the step
+    def slab(off):
+        sl = jax.lax.slice_in_dim(x_ext, off, off + nblk * stride, axis=-1)
+        return norm(sl).reshape(*batch, nblk, stride)
+
+    windows = jnp.concatenate(
+        [slab(2 * k), slab(2 * k + stride)[..., :span - stride]], axis=-1)
+
+    # H[byte, col(i, ch, quad)]: output i of a block, channel ch, reads
+    # x_ext complex idx (i+t)*K - 1 - n_tap (rel. block window) with
+    # complex coefficient c = h[n_tap] * exp(2j*pi*n_tap*ch/K):
+    #   y_re = sum re(c)*x_re - im(c)*x_im ; y_im = sum im(c)*x_re + re(c)*x_im
+    i_idx = np.arange(block)[:, None]
+    n_idx = np.arange(t * k)[None, :]
+    r_even = 2 * ((i_idx + t) * k - 1 - n_idx)  # (block, t*k) byte rows
+    scale = 1.0 / 128.0 if on_tpu else 1.0  # fold normalize on TPU
+    h_mat = np.zeros((span, block * k * 2), np.float64)
+    for ch in range(k):
+        c = h64 * np.exp(2j * np.pi * n_idx[0] * ch / k) * scale
+        cr = np.broadcast_to(c.real, r_even.shape)
+        ci = np.broadcast_to(c.imag, r_even.shape)
+        col_re = np.broadcast_to(ch * 2 * block + i_idx, r_even.shape)
+        rs = r_even.ravel()
+        h_mat[rs, col_re.ravel()] = cr.ravel()
+        h_mat[rs + 1, col_re.ravel()] = -ci.ravel()
+        h_mat[rs, col_re.ravel() + block] = ci.ravel()
+        h_mat[rs + 1, col_re.ravel() + block] = cr.ravel()
+    h_j = jnp.asarray(h_mat, jnp.bfloat16 if on_tpu else jnp.float32)
+
+    y = jax.lax.dot_general(
+        windows, h_j,
+        dimension_numbers=(((windows.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (..., nblk, K*2*block)
+    y = y.reshape(*batch, nblk, k, 2, block)
+    y = jnp.moveaxis(y, -4, -2)             # (..., K, 2, nblk, block)
+    y = y.reshape(*batch, k, 2, m_out)
+    assert n >= l_zi
+    return y, raw_u8[..., -2 * l_zi:]
+
+
 def channel_center_freqs(n_channels: int, fs: float) -> np.ndarray:
     """Center frequency of each output channel (Hz), wrapped to +-fs/2."""
     k = np.arange(n_channels)

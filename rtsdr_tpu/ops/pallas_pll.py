@@ -291,7 +291,7 @@ def pll_pallas(
         batch_shape).reshape(c_real)
     spans = _dtheta_spans(dtheta64)
 
-    if len(spans) <= _MAX_SPANS and n % 8 == 0:
+    if len(spans) <= _MAX_SPANS and _v4_chunk(n, c) is not None:
         # fully-fused path: NCO synthesis, delay and transposes in-kernel
         return _call_v4(x.reshape(c_real, n), state, kp_np, ki_np, spans,
                         nco_scale, phase_adjust, n, c, c_real, dtype,
@@ -331,6 +331,17 @@ def pll_pallas(
     else:
         nco_i, nco_q = nco_i_new, nco_q_new
     return nco_i, nco_q, new_state
+
+
+def _v4_chunk(n: int, c: int) -> int | None:
+    """Largest VMEM-fitting v4 chunk: divides n, multiple of 128 (the
+    channel-major (C, chunk) blocks put time in lanes).  None if n has
+    no 128-multiple divisor — the caller falls back to the legacy
+    kernel.  VMEM: ~9 (chunk, C) f32 buffers (x + 2 outs
+    double-buffered, 3 scratches, transpose working set) under ~9 MB."""
+    cap = min(512, max(128, (9 * 1024 * 1024) // (36 * c) // 128 * 128))
+    return next((s for s in range(min(cap, n), 127, -128)
+                 if n % s == 0 and s % 128 == 0), None)
 
 
 def _call_v4(x2d, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
@@ -388,11 +399,7 @@ def _call_v4(x2d, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
     s_in = jnp.concatenate(
         [jnp.stack(rows), jnp.zeros((6, c), dtype)], axis=0)
 
-    # VMEM: ~9 (chunk, C) f32 buffers (x + 2 outs double-buffered,
-    # 3 scratches, transpose working set) kept under ~9 MB
-    chunk = min(512, max(8, (9 * 1024 * 1024) // (36 * c) // 8 * 8))
-    chunk = next((s for s in range(min(chunk, n), 7, -1)
-                  if n % s == 0 and s % 8 == 0), 8)
+    chunk = _v4_chunk(n, c)
 
     kern = partial(_kernel_v4, chunk=chunk, kq=kq, ki=ki,
                    delayed=delay_output)

@@ -24,7 +24,9 @@ from rtsdr_tpu.config import ReceiverConfig
 from rtsdr_tpu.ops.channelizer import (
     channelizer_taps,
     channelizer_zi,
+    channelizer_zi_u8,
     pfb_channelize,
+    pfb_channelize_u8,
 )
 from rtsdr_tpu.pipeline.receiver import ReceiverState, make_receiver
 
@@ -58,23 +60,32 @@ def make_wideband_receiver(
         **receiver_kwargs)
 
     cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    # The raw-byte banded-matmul channelizer (one matmul, no complex
+    # intermediates) needs whole output blocks and f32; the complex
+    # phase-plane path remains for ragged lengths and the f64 oracle.
+    m_per_block = cfg.block_size // 2  # per-channel samples per step
+    use_u8 = dtype == jnp.float32 and m_per_block % 32 == 0
 
     def init_fn() -> WidebandState:
-        return WidebandState(
-            chan_zi=channelizer_zi(k, taps, batch_shape, cdtype),
-            rx=init_rx())
+        chan_zi = (channelizer_zi_u8(k, taps, batch_shape) if use_u8
+                   else channelizer_zi(k, taps, batch_shape, cdtype))
+        return WidebandState(chan_zi=chan_zi, rx=init_rx())
 
     def step_fn(state: WidebandState, raw_u8: jax.Array):
-        pairs = raw_u8.reshape(*raw_u8.shape[:-1], -1, 2)
-        iq = (jnp.swapaxes(pairs, -1, -2).astype(dtype)
-              - 128.0) * (1.0 / 128.0)
-        x = (iq[..., 0, :] + 1j * iq[..., 1, :]).astype(cdtype)
-        y, chan_zi = pfb_channelize(x, h, state.chan_zi, k)
-        # (..., M, K) -> (..., K, 2, M): per-channel stacked I/Q at the
-        # station rate, the receiver's 'iq' frontend input
-        y = jnp.moveaxis(y, -1, -2)
-        raw_iq = jnp.stack([jnp.real(y), jnp.imag(y)], axis=-2)
-        rx_state, out = step_rx(state.rx, raw_iq.astype(dtype))
+        if use_u8:
+            raw_iq, chan_zi = pfb_channelize_u8(raw_u8, h, state.chan_zi, k)
+        else:
+            pairs = raw_u8.reshape(*raw_u8.shape[:-1], -1, 2)
+            iq = (jnp.swapaxes(pairs, -1, -2).astype(dtype)
+                  - 128.0) * (1.0 / 128.0)
+            x = (iq[..., 0, :] + 1j * iq[..., 1, :]).astype(cdtype)
+            y, chan_zi = pfb_channelize(x, h, state.chan_zi, k)
+            # (..., M, K) -> (..., K, 2, M): per-channel stacked I/Q at
+            # the station rate, the receiver's 'iq' frontend input
+            y = jnp.moveaxis(y, -1, -2)
+            raw_iq = jnp.stack([jnp.real(y), jnp.imag(y)],
+                               axis=-2).astype(dtype)
+        rx_state, out = step_rx(state.rx, raw_iq)
         return WidebandState(chan_zi=chan_zi, rx=rx_state), out
 
     return init_fn, step_fn

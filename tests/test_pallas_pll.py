@@ -145,3 +145,29 @@ def test_fused_two_config_matches_separate():
                             jax.tree.leaves(ref_st)):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            atol=1e-6)
+
+
+def test_v4_chunk_lane_alignment():
+    """v4 block lane dims must be 128-multiples (mode-1 if_len=16000
+    once picked 400 and failed Mosaic lowering); the selector must only
+    return 128-multiple divisors, or None to trigger the fallback."""
+    from rtsdr_tpu.ops.pallas_pll import _v4_chunk
+
+    for n in (15360, 16000, 1920, 3840):
+        ch = _v4_chunk(n, 512)
+        assert ch is not None and n % ch == 0 and ch % 128 == 0, (n, ch)
+    assert _v4_chunk(1000, 512) is None  # no 128-multiple divisor
+
+
+def test_pallas_mode1_length():
+    """Mode-1 if_len (16000, not divisible by 512) through the kernel."""
+    n = 16000
+    x = jnp.asarray(_pilot(n), jnp.float32)
+    ref_i, _, ref_st = pll(x, pll_init((), jnp.float32), freq=19e3,
+                           fs=250e3, nco_scale=2.0)
+    our_i, _, our_st = pll_pallas(x, pll_init((), jnp.float32), freq=19e3,
+                                  fs=250e3, nco_scale=2.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(our_i), np.asarray(ref_i),
+                               atol=5e-5)
+    # scan's own sequential f32 rounding bias scales with n (~2.4e-7*n)
+    _assert_state_close(our_st, ref_st, atol=4e-7 * n)

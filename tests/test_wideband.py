@@ -101,3 +101,38 @@ def test_wideband_two_stations_decode():
 def test_channel_center_freqs():
     f = channel_center_freqs(4, 9.6e6)
     np.testing.assert_allclose(f, [0.0, 2.4e6, -4.8e6, -2.4e6])
+
+
+def test_u8_channelizer_matches_complex_path(rng):
+    """The raw-byte banded-matmul channelizer == normalize -> complex ->
+    pfb_channelize, including the carried state across blocks."""
+    import jax.numpy as jnp
+
+    from rtsdr_tpu.ops.channelizer import (
+        channelizer_taps,
+        channelizer_zi,
+        channelizer_zi_u8,
+        pfb_channelize,
+        pfb_channelize_u8,
+    )
+
+    k, c, m_out = 8, 2, 192
+    h = channelizer_taps(k, 16)
+    n = m_out * k
+
+    def cplx(raw, zi):
+        pairs = raw.reshape(c, -1, 2)
+        iq = (pairs.astype(np.float32) - 128.0) / 128.0
+        x = jnp.asarray(iq[..., 0] + 1j * iq[..., 1], jnp.complex64)
+        y, zi = pfb_channelize(x, h, zi, k)
+        y = jnp.moveaxis(y, -1, -2)
+        return np.stack([np.real(y), np.imag(y)], axis=-2), zi
+
+    zi_c = channelizer_zi(k, len(h), (c,), jnp.complex64)
+    zi_u = channelizer_zi_u8(k, len(h), (c,))
+    for _ in range(2):  # second block exercises the byte-tail carry
+        raw = rng.integers(0, 256, (c, 2 * n), np.uint8)
+        ref, zi_c = cplx(raw, zi_c)
+        ours, zi_u = pfb_channelize_u8(jnp.asarray(raw), h, zi_u, k)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=0,
+                                   atol=2e-6)
