@@ -62,16 +62,16 @@ def _pallas_banded_h(h: np.ndarray, block: int, stride_raw: int,
 
 
 def _ingest_kernel(p_ref, a_ref, hh_ref, ha_ref, yi_ref, yq_ref, *,
-                   block: int, head: int, inv_scale: float):
+                   block: int, head: int, p_w: int, inv_scale: float):
     """One (channel-tile, output-block) step: windows never touch HBM.
 
-    p_ref is the previous 512-byte-aligned raw block (look-back head).
+    p_ref is the previous aligned raw block (look-back head, width p_w).
     Its i32 dot contribution is masked to zero at j=0, where the head
     region is semantically the left zero-pad (Mosaic has no i8 vector
     multiply, so the mask applies after the MXU, not to the bytes).
     """
     j = pl.program_id(1)
-    hd = (p_ref[:, 512 - head:] ^ jnp.uint8(0x80)).astype(jnp.int8)
+    hd = (p_ref[:, p_w - head:] ^ jnp.uint8(0x80)).astype(jnp.int8)
     aw = (a_ref[...] ^ jnp.uint8(0x80)).astype(jnp.int8)
     dn = (((1,), (0,)), ((), ()))
     o = jax.lax.dot_general(aw, ha_ref[...], dimension_numbers=dn,
@@ -103,16 +103,20 @@ def _pallas_ingest(raw_u8, h_mat, stride_raw: int, block: int,
     m_total = n // stride_raw
     nblk = m_total // block
     blk_bytes = block * stride_raw
+    # look-back ref: smallest 128-multiple width >= head dividing the
+    # A-block stride (512 at block=128/decim=10; 640 at block=64)
+    p_w = next(w for w in range(128, blk_bytes + 1, 128)
+               if w >= head and blk_bytes % w == 0)
     kern = functools.partial(_ingest_kernel, block=block, head=head,
-                             inv_scale=inv_scale)
+                             p_w=p_w, inv_scale=inv_scale)
     yi, yq = pl.pallas_call(
         kern,
         grid=(c // tile_c, nblk),
         in_specs=[
-            # previous 512-aligned block: offset j*blk_bytes - 512
-            pl.BlockSpec((tile_c, 512),
-                         lambda i, j: (i, jnp.maximum(
-                             j * (blk_bytes // 512) - 1, 0)),
+            # previous p_w-aligned block: offset j*blk_bytes - p_w
+            pl.BlockSpec((tile_c, p_w),
+                         lambda i, j, r=blk_bytes // p_w: (
+                             i, jnp.maximum(j * r - 1, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_c, blk_bytes), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -172,11 +176,13 @@ def ingest_fir_decimate(
 
     on_tpu = jax.default_backend() == "tpu"
     if impl == "auto":
+        bb = block * stride_raw
         pallas_ok = (not halo and raw_u8.ndim == 2
                      and raw_u8.shape[0] % 32 == 0
                      and m_total % block == 0
-                     and (block * stride_raw) % 512 == 0
-                     and 2 * t1 <= 384)
+                     and 2 * t1 <= 384
+                     and any(w >= 384 and bb % w == 0
+                             for w in range(128, bb + 1, 128)))
         impl = ("pallas" if on_tpu and pallas_ok
                 else "s8" if on_tpu else "f32")
 

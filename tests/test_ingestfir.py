@@ -40,6 +40,21 @@ def test_fused_matches_split(rng, n_pairs, decim, taps):
                                    rtol=0, atol=3e-6)
 
 
+def test_pallas_block64_matches(rng):
+    """The narrower output-block geometry (less banded-FLOP waste,
+    different look-back ref width) is output-identical."""
+    h = lowpass_taps(2.4e6, 100e3, 151)
+    raw = rng.integers(0, 256, (32, 6 * 128 * 20), dtype=np.uint8)
+    zi = rng.standard_normal((32, 150)).astype(np.float32)
+    a = ingest_fir_decimate(jnp.asarray(raw), h, jnp.asarray(zi),
+                            jnp.asarray(zi), 10, block=128, impl="pallas")
+    b = ingest_fir_decimate(jnp.asarray(raw), h, jnp.asarray(zi),
+                            jnp.asarray(zi), 10, block=64, impl="pallas")
+    for k in range(2):
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=0, atol=1e-6)
+
+
 def test_pallas_matches_s8_and_f32(rng):
     """The fused Pallas kernel (interpret mode on CPU) vs the XLA paths.
 

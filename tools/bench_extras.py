@@ -48,7 +48,10 @@ def slope_time(step, state, raw, reps=8, n_lo=3, n_hi=13):
     for _ in range(reps):
         t1, st = run(n_lo, st)
         t2, st = run(n_hi, st)
-        best = min(best, (t2 - t1) / (n_hi - n_lo))
+        sl = (t2 - t1) / (n_hi - n_lo)
+        if sl > 0:  # contention can swing t(hi) below t(lo): discard
+            best = min(best, sl)
+    assert np.isfinite(best), "all slope estimates negative (contention)"
     return best
 
 
