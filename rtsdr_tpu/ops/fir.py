@@ -215,6 +215,24 @@ def fir_block(x: jax.Array, h, zi: jax.Array) -> tuple[jax.Array, jax.Array]:
     return y, xext[..., -(h.shape[0] - 1):]
 
 
+def fir_block_bank(x: jax.Array, h_list, zi: jax.Array
+                   ) -> tuple[tuple, jax.Array]:
+    """``fir_block_multi`` returning a TUPLE of per-filter outputs.
+
+    On the fused Pallas path the F outputs are naturally separate
+    arrays; returning them unstacked lets callers that immediately
+    unpack (pipeline/receiver.py, pipeline/audio.py) skip a full
+    (..., F, N) stack materialization per step."""
+    if x.dtype == jnp.float32:
+        hs_np = [_h_concrete(h) for h in h_list]
+        fast = (_bank_fast(x, hs_np, zi, 1)
+                if all(h is not None for h in hs_np) else None)
+        if fast is not None:
+            return tuple(fast[0]), fast[1]
+    y, new_zi = fir_block_multi(x, h_list, zi)
+    return tuple(y[..., f, :] for f in range(len(h_list))), new_zi
+
+
 def fir_block_multi(x: jax.Array, h_list, zi: jax.Array
                     ) -> tuple[jax.Array, jax.Array]:
     """F same-length FIRs over ONE input with ONE shared overlap-save state.

@@ -25,7 +25,7 @@ from rtsdr_tpu.config import ReceiverConfig
 from rtsdr_tpu.ops import coeffs
 from rtsdr_tpu.ops.fir import (
     fir_block,
-    fir_block_multi,
+    fir_block_bank,
     fir_resample,
     fir_zi,
     resample_zi,
@@ -112,9 +112,8 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
         # buffer is read once).  The receiver may pass them precomputed
         # (3-fused with the RDS extraction BPF, pipeline/receiver.py).
         if pilot is None or chan is None:
-            bank, if_tail = fir_block_multi(fm, [pilot_h, chan_h],
-                                            state.pilot_zi)
-            pilot, chan = bank[..., 0, :], bank[..., 1, :]
+            (pilot, chan), if_tail = fir_block_bank(fm, [pilot_h, chan_h],
+                                                    state.pilot_zi)
         else:
             if_tail = jnp.concatenate(
                 [state.pilot_zi, fm], axis=-1)[..., -(cfg.stereo.taps - 1):]

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from rtsdr_tpu.config import ReceiverConfig
-from rtsdr_tpu.ops.fir import fir_block_multi
+from rtsdr_tpu.ops.fir import fir_block_bank
 from rtsdr_tpu.pipeline.audio import AudioState, audio_init, make_audio
 from rtsdr_tpu.pipeline.frame import (
     FrameOutputs,
@@ -165,9 +165,8 @@ def make_receiver(
         pilot = chan = extract = None
         audio_nco = rds_nco = None
         if if_bank_h is not None:
-            bank, _ = fir_block_multi(fm, if_bank_h, state.audio.pilot_zi)
-            pilot, chan, extract = (bank[..., 0, :], bank[..., 1, :],
-                                    bank[..., 2, :])
+            (pilot, chan, extract), _ = fir_block_bank(
+                fm, if_bank_h, state.audio.pilot_zi)
             if fuse_pll:
                 from rtsdr_tpu.ops.pallas_fir import fir_block_pre
 
