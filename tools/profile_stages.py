@@ -117,8 +117,10 @@ def main():
     dt = slope(f, feed0, (fm, jnp.zeros((c, cfg.stereo.taps - 1), f32)))
     recs["if_bank_3f"] = dt
 
-    # squared BPF
-    f = jax.jit(lambda x, zi: fir_block(x * x, squared_h, zi)[0])
+    # squared BPF (production path: square fused in-kernel when eligible)
+    from rtsdr_tpu.ops.pallas_fir import fir_block_pre
+
+    f = jax.jit(lambda x, zi: fir_block_pre(x, squared_h, zi, "square")[0])
     dt = slope(f, feed0, (fm, jnp.zeros((c, cfg.rds.taps - 1), f32)))
     recs["squared_bpf"] = dt
 
@@ -142,9 +144,17 @@ def main():
     dt = slope(f, feed_pll, (x2, st0))
     recs["pll_pair_fused"] = dt
 
-    # stereo mixer + LPF decim
-    f = jax.jit(lambda ch, nco, zi: fir_decimate(2.0 * ch * nco, audio_h,
-                                                 zi, cfg.mono.down)[0])
+    # stereo mixer + LPF decim (production: mixer fused in-kernel)
+    from rtsdr_tpu.ops import pallas_fir
+
+    def mix_fn(ch, nco, zi):
+        if pallas_fir.eligible(ch, cfg.mono.taps, cfg.mono.down):
+            ys, _ = pallas_fir.fir_bank_carried(ch, [audio_h], zi,
+                                                cfg.mono.down, x2=nco,
+                                                pre="mul2")
+            return ys[0]
+        return fir_decimate(2.0 * ch * nco, audio_h, zi, cfg.mono.down)[0]
+    f = jax.jit(mix_fn)
     dt = slope(f, feed0, (fm, fm, jnp.zeros((c, cfg.mono.taps - 1), f32)))
     recs["stereo_mix_lpf"] = dt
 
