@@ -9,7 +9,6 @@ of block b happens while block b+1 computes.
 
 from __future__ import annotations
 
-import sys
 from typing import Callable
 
 import jax
@@ -109,16 +108,3 @@ class StreamRunner:
         drain(pending)
         return {"blocks": n_blocks, "rds_events": n_syncs,
                 "rds_false_positives": n_false_pos}
-
-
-def main_loop(cfg: ReceiverConfig, max_blocks=None, **kwargs) -> dict:
-    """Reference-compatible shell-pipeline mode:
-    ``rtl_sdr ... | python -m rtsdr_tpu.cli [mode] | aplay ...``"""
-    runner = StreamRunner(cfg, **kwargs)
-    out = sys.stdout.buffer
-    return runner.run(
-        sys.stdin.fileno(),
-        emit=lambda b: (out.write(b), out.flush()),
-        rds_log=lambda s: print(s, file=sys.stderr),
-        max_blocks=max_blocks,
-    )
