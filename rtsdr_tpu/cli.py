@@ -145,6 +145,11 @@ def main(argv=None) -> int:
         print(f"RDS: PI=0x{decoder.pi:04X} PTY={pty} "
               f"PS='{decoder.ps_name}' RT='{decoder.radiotext_str}'",
               file=sys.stderr)
+        if decoder.af_mhz:
+            afs = " ".join(f"{f:.1f}" for f in sorted(decoder.af_mhz))
+            print(f"RDS: AF [MHz]: {afs}", file=sys.stderr)
+        if decoder.clock is not None:
+            print(f"RDS: CT {decoder.clock}", file=sys.stderr)
     return 0
 
 

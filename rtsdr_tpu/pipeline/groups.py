@@ -12,6 +12,8 @@ Group layout (RDS standard, IEC 62106):
   0A/0B:   PS name segment address in B[1:0]; block D = 2 PS chars
   2A:      RadioText segment in B[3:0]; blocks C+D = 4 RT chars
   2B:      same, block D only (2 chars)
+  0A:      block C = two alternative-frequency (AF) codes
+  4A:      clock time/date: 17-bit MJD + hour/minute + local offset
 """
 
 from __future__ import annotations
@@ -32,6 +34,39 @@ PTY_NAMES = [
 ]
 
 _OFFSET_A, _OFFSET_B, _OFFSET_C, _OFFSET_D = 1, 2, 3, 4  # syndrome ids
+
+
+def mjd_to_date(mjd: int) -> tuple:
+    """Modified Julian Day -> (year, month, day), IEC 62106 annex G."""
+    yp = int((mjd - 15078.2) / 365.25)
+    mp = int((mjd - 14956.1 - int(yp * 365.25)) / 30.6001)
+    day = mjd - 14956 - int(yp * 365.25) - int(mp * 30.6001)
+    k = 1 if mp in (14, 15) else 0
+    return 1900 + yp + k, mp - 1 - 12 * k, day
+
+
+def decode_af_code(code: int) -> float | None:
+    """AF code -> carrier MHz (VHF band only; None for fillers/markers)."""
+    if 1 <= code <= 204:
+        return round(87.5 + 0.1 * code, 1)
+    return None
+
+
+@dataclass(frozen=True)
+class ClockTime:
+    """Decoded 4A group: UTC date/time plus the local-time offset."""
+    year: int
+    month: int
+    day: int
+    hour: int
+    minute: int
+    offset_hours: float   # local time = UTC + offset_hours
+
+    def __str__(self) -> str:
+        sign = "+" if self.offset_hours >= 0 else "-"
+        return (f"{self.year:04d}-{self.month:02d}-{self.day:02d} "
+                f"{self.hour:02d}:{self.minute:02d} UTC"
+                f"{sign}{abs(self.offset_hours):g}")
 
 
 @dataclass
@@ -58,6 +93,9 @@ class GroupDecoder:
     pty: int | None = None
     ps: list = field(default_factory=lambda: [" "] * 8)
     radiotext: list = field(default_factory=lambda: [" "] * 64)
+    af_mhz: set = field(default_factory=set)      # from 0A block C
+    af_declared: int | None = None                # "N AFs follow" marker
+    clock: ClockTime | None = None                # latest 4A group
     groups: list = field(default_factory=list)
     _window: list = field(default_factory=list)   # recent (pos, sid, info)
     _last_pos: int = -1                           # seam-duplicate guard
@@ -109,6 +147,22 @@ class GroupDecoder:
             seg = ib & 0x3
             self.ps[2 * seg] = chr((id_ >> 8) & 0xFF)
             self.ps[2 * seg + 1] = chr(id_ & 0xFF)
+            if g.version == 0:           # 0A block C = two AF codes
+                for code in ((ic >> 8) & 0xFF, ic & 0xFF):
+                    if 225 <= code <= 249:
+                        self.af_declared = code - 224
+                    else:
+                        f = decode_af_code(code)
+                        if f is not None:
+                            self.af_mhz.add(f)
+        elif g.group_type == 4 and g.version == 0:
+            mjd = ((ib & 0x3) << 15) | (ic >> 1)
+            year, month, day = mjd_to_date(mjd)
+            hour = ((ic & 1) << 4) | (id_ >> 12)
+            minute = (id_ >> 6) & 0x3F
+            half_hours = id_ & 0x1F
+            offset = half_hours * (-0.5 if (id_ >> 5) & 1 else 0.5)
+            self.clock = ClockTime(year, month, day, hour, minute, offset)
         elif g.group_type == 2 and g.version == 0:
             seg = ib & 0xF
             for k, ch in enumerate(((ic >> 8) & 0xFF, ic & 0xFF,

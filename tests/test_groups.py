@@ -38,17 +38,39 @@ def test_standard_layout_yields_reference_syndromes():
                                           err_msg=f"{name} info={info:#06x}")
 
 
+#  AF plan: "2 AFs follow" (code 224+2), 98.1 MHz (code 106), 105.5 MHz
+#  (code 180), filler (205) — the standard method-A pairing.
+_AF_PAIRS = [(226 << 8) | 106, (180 << 8) | 205]
+#  CT plan: 2026-08-18 03:45 UTC, local offset -2.5 h (sign bit exercised).
+_CT_DATE = (2026, 8, 18, 3, 45, -2.5)
+
+
+def _ct_words(pty):
+    year, month, day, hour, minute, offset = _CT_DATE
+    k = 1 if month <= 2 else 0
+    mjd = (14956 + day + int((year - 1900 - k) * 365.25)
+           + int((month + 1 + 12 * k) * 30.6001))
+    half = int(round(abs(offset) * 2))
+    sign = 1 if offset < 0 else 0
+    b = (4 << 12) | (0 << 11) | (1 << 10) | (pty << 5) | ((mjd >> 15) & 3)
+    c = ((mjd & 0x7FFF) << 1) | (hour >> 4)
+    d = ((hour & 0xF) << 12) | (minute << 6) | (sign << 5) | half
+    return b, c, d
+
+
 def _make_station_groups(n_groups, pi=0x3A5C, pty=5, ps="TPU RDIO",
                          radiotext="MXU RDIO"):
     """3 of 4 groups are 0A (PS segments cycling), every 4th is 2A
     (RadioText, 2 segments) — PS converges fast at the ~0.73 groups/block
-    rate of the 2375 bit/s stream."""
+    rate of the 2375 bit/s stream.  Every 16th group is 4A clock time."""
     words = []
     ps = (ps + " " * 8)[:8]
     rt = (radiotext + " " * 8)[:8]
     ps_i = rt_i = 0
     for g in range(n_groups):
-        if g % 4 == 3:
+        if g % 16 == 5:
+            b, c, d = _ct_words(pty)
+        elif g % 4 == 3:
             seg = rt_i % 2
             rt_i += 1
             b = (2 << 12) | (0 << 11) | (1 << 10) | (pty << 5) | seg
@@ -58,7 +80,7 @@ def _make_station_groups(n_groups, pi=0x3A5C, pty=5, ps="TPU RDIO",
             seg = ps_i % 4
             ps_i += 1
             b = (0 << 12) | (0 << 11) | (1 << 10) | (pty << 5) | seg
-            c = 0xCDCD  # 0A block C = AF codes; arbitrary
+            c = _AF_PAIRS[ps_i % 2]  # 0A block C = AF codes
             d = (ord(ps[2 * seg]) << 8) | ord(ps[2 * seg + 1])
         words.extend([pi, b, c, d])
     return words
@@ -93,7 +115,7 @@ def test_groups_decode_pi_pty(decoded_station):
     for g in dec.groups:
         assert g.pi == 0x3A5C
         assert g.tp == 1
-        assert g.name in ("0A", "2A")
+        assert g.name in ("0A", "2A", "4A")
     line = format_group(dec.groups[0])
     assert "PI=0x3A5C" in line and "PTY=Rock" in line
 
@@ -102,6 +124,30 @@ def test_groups_decode_ps_and_radiotext(decoded_station):
     dec = decoded_station
     assert dec.ps_name == "TPU RDIO"
     assert dec.radiotext_str == "MXU RDIO"
+
+
+def test_groups_decode_af_and_clock(decoded_station):
+    dec = decoded_station
+    assert dec.af_mhz == {98.1, 105.5}
+    assert dec.af_declared == 2
+    assert dec.clock is not None
+    ct = dec.clock
+    assert (ct.year, ct.month, ct.day) == _CT_DATE[:3]
+    assert (ct.hour, ct.minute, ct.offset_hours) == _CT_DATE[3:]
+    assert str(ct) == "2026-08-18 03:45 UTC-2.5"
+
+
+def test_mjd_date_conversion():
+    """IEC 62106 annex G decode vs the standard encode, across month/leap
+    edges (incl. the k-correction months Jan/Feb)."""
+    from rtsdr_tpu.pipeline.groups import mjd_to_date
+
+    for (y, m, d) in [(1982, 7, 27), (2000, 2, 29), (2024, 1, 1),
+                      (2026, 8, 18), (1999, 12, 31), (2025, 3, 1)]:
+        k = 1 if m <= 2 else 0
+        mjd = (14956 + d + int((y - 1900 - k) * 365.25)
+               + int((m + 1 + 12 * k) * 30.6001))
+        assert mjd_to_date(mjd) == (y, m, d)
 
 
 def test_seam_duplicate_windows_not_double_counted(decoded_station):
