@@ -22,6 +22,10 @@ def main(argv=None) -> int:
     p.add_argument("--blocks", type=int, default=None,
                    help="stop after N blocks (default: run to EOF)")
     p.add_argument("--no-rds", action="store_true")
+    p.add_argument("--rds", action="store_true",
+                   help="enable RDS in mode 1 (the reference disables its "
+                        "RDS thread off mode 0, but the 250 kS/s IF still "
+                        "carries the 57 kHz subcarrier; resampled x57/250)")
     p.add_argument("--no-stereo", action="store_true",
                    help="mono-only chain")
     p.add_argument("--deemphasis", type=float, nargs="?", const=75.0,
@@ -70,10 +74,12 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", plat.split(",")[0])
 
-    from rtsdr_tpu.config import MODES
+    from rtsdr_tpu.config import MODE1_RDS, MODES
     from rtsdr_tpu.io.stream import StreamRunner
 
     cfg = MODES[args.mode]
+    if args.rds and cfg.rds is None:
+        cfg = MODE1_RDS
     kwargs = {}
     if args.no_rds or cfg.rds is None:
         kwargs["enable_rds"] = False

@@ -200,4 +200,29 @@ MODE1 = ReceiverConfig(
     block_size=320000,
 )
 
+# Mode 1 with RDS enabled — beyond the reference, which gates its RDS
+# thread on mode==0 (src/fm_radio.cpp:324) although nothing in the physics
+# requires it: the 250 kS/s IF still contains the 57 kHz subcarrier and its
+# 113.5-114.5 kHz squared image (both below the 125 kHz Nyquist), and
+# 16000 * 57 / 250 = 3648 samples/block lands exactly on the 57 kS/s
+# symbol grid (24 samples/symbol at 2375 baud, same as mode 0).  The
+# anti-image filter scales its length with the 3x higher dilated rate
+# (57 * 250k vs 19 * 240k) to keep the same transition width.
+# phase_adjust retuned for the 250 kS/s IF: the squared-BPF group delay
+# (75 IF samples) shifts the recovered carrier by a different fraction of
+# a 114 kHz cycle than at 240 kS/s (34.200 vs 35.625 cycles), rotating the
+# constellation ~-1.37 rad off the mode-0 value.  Value from the analytic
+# tuner (tools/constellation.py optimal_phase_delta; I-axis concentration
+# 0.038 -> 0.99996 on a synthetic station).
+MODE1_RDS = dataclasses.replace(
+    MODE1,
+    rds=RDSConfig(up=57, down=250, anti_img_taps=453,
+                  pll=PLLConfig(
+                      freq=114e3,
+                      nco_scale=0.5,
+                      phase_adjust=-2.5163,
+                      norm_bandwidth=0.001,
+                  )),
+)
+
 MODES = {0: MODE0, 1: MODE1}
