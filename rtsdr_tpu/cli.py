@@ -93,9 +93,11 @@ def main(argv=None) -> int:
         kwargs["resync"] = True
 
     if args.stations:
-        return _batch_decode(cfg, args.stations, args.blocks, kwargs)
+        return _batch_decode(cfg, args.stations, args.blocks, kwargs,
+                             rds_groups=args.rds_groups)
     if args.wideband:
-        return _wideband_decode(cfg, args.wideband, args.blocks, kwargs)
+        return _wideband_decode(cfg, args.wideband, args.blocks, kwargs,
+                                rds_groups=args.rds_groups)
 
     runner = StreamRunner(cfg, **kwargs)
     print("compiling receiver (first block is slow; subsequent blocks are "
@@ -143,23 +145,30 @@ def main(argv=None) -> int:
           f"{stats['rds_events']} RDS syncs "
           f"({stats['rds_false_positives']} false positives)",
           file=sys.stderr)
-    if decoder is not None and decoder.pi is not None:
-        from rtsdr_tpu.pipeline.groups import PTY_NAMES
-
-        pty = PTY_NAMES[decoder.pty] if PTY_NAMES[decoder.pty] \
-            else str(decoder.pty)
-        print(f"RDS: PI=0x{decoder.pi:04X} PTY={pty} "
-              f"PS='{decoder.ps_name}' RT='{decoder.radiotext_str}'",
-              file=sys.stderr)
-        if decoder.af_mhz:
-            afs = " ".join(f"{f:.1f}" for f in sorted(decoder.af_mhz))
-            print(f"RDS: AF [MHz]: {afs}", file=sys.stderr)
-        if decoder.clock is not None:
-            print(f"RDS: CT {decoder.clock}", file=sys.stderr)
+    if decoder is not None:
+        _print_rds_summary(decoder)
     return 0
 
 
-def _batch_decode(cfg, files, max_blocks, kwargs) -> int:
+def _print_rds_summary(decoder, prefix: str = "") -> None:
+    """Final decoded-payload summary lines (PI/PTY/PS/RT, AF list, CT)."""
+    if decoder.pi is None:
+        return
+    from rtsdr_tpu.pipeline.groups import PTY_NAMES
+
+    pty = PTY_NAMES[decoder.pty] if PTY_NAMES[decoder.pty] \
+        else str(decoder.pty)
+    print(f"{prefix}RDS: PI=0x{decoder.pi:04X} PTY={pty} "
+          f"PS='{decoder.ps_name}' RT='{decoder.radiotext_str}'",
+          file=sys.stderr)
+    if decoder.af_mhz:
+        afs = " ".join(f"{f:.1f}" for f in sorted(decoder.af_mhz))
+        print(f"{prefix}RDS: AF [MHz]: {afs}", file=sys.stderr)
+    if decoder.clock is not None:
+        print(f"{prefix}RDS: CT {decoder.clock}", file=sys.stderr)
+
+
+def _batch_decode(cfg, files, max_blocks, kwargs, rds_groups=False) -> int:
     """Decode N stations as one channel-batched receiver (the multi-station
     deployment shape, driven from capture files)."""
     import os
@@ -181,6 +190,7 @@ def _batch_decode(cfg, files, max_blocks, kwargs) -> int:
     n = len(files)
     rx = Receiver(cfg, (n,), **kwargs)
     state = rx.init()
+    decoders = _station_decoders(n, cfg, kwargs, rds_groups)
     handles = [open(f, "rb") for f in files]
     writers: list = [None] * n  # opened on first block; stream per block
     blocks = 0
@@ -204,6 +214,12 @@ def _batch_decode(cfg, files, max_blocks, kwargs) -> int:
                     for line in format_rds_events(fo):
                         print(f"[{files[c]}] {line}", file=sys.stderr)
                         events += 1
+                    if decoders is not None:
+                        from rtsdr_tpu.pipeline.groups import format_group
+
+                        for g in decoders[c].feed(fo):
+                            print(f"[{files[c]}] {format_group(g)}",
+                                  file=sys.stderr)
             blocks += 1
     finally:
         for h in handles:
@@ -214,10 +230,24 @@ def _batch_decode(cfg, files, max_blocks, kwargs) -> int:
 
     print(f"processed {blocks} blocks x {n} stations, {events} RDS events",
           file=sys.stderr)
+    if decoders is not None:
+        for c in range(n):
+            _print_rds_summary(decoders[c], prefix=f"[{files[c]}] ")
     return 0
 
 
-def _wideband_decode(cfg, k, max_blocks, kwargs) -> int:
+def _station_decoders(n, cfg, kwargs, rds_groups):
+    """Per-station GroupDecoders for the multi-station CLI paths (None when
+    group decoding is off or the config has no RDS)."""
+    if not rds_groups or cfg.rds is None \
+            or kwargs.get("enable_rds") is False:
+        return None
+    from rtsdr_tpu.pipeline.groups import GroupDecoder
+
+    return [GroupDecoder() for _ in range(n)]
+
+
+def _wideband_decode(cfg, k, max_blocks, kwargs, rds_groups=False) -> int:
     """One wideband stdin capture -> K stations via the PFB channelizer
     (pipeline/wideband.py), channel<k>.wav per station."""
     import jax
@@ -238,6 +268,7 @@ def _wideband_decode(cfg, k, max_blocks, kwargs) -> int:
 
     wbs = k * cfg.block_size
     writers: list = [None] * k
+    decoders = _station_decoders(k, cfg, kwargs, rds_groups)
     blocks = 0
     events = 0
     try:
@@ -258,6 +289,12 @@ def _wideband_decode(cfg, k, max_blocks, kwargs) -> int:
                     for line in format_rds_events(fo):
                         print(f"[ch{c}] {line}", file=sys.stderr)
                         events += 1
+                    if decoders is not None:
+                        from rtsdr_tpu.pipeline.groups import format_group
+
+                        for g in decoders[c].feed(fo):
+                            print(f"[ch{c}] {format_group(g)}",
+                                  file=sys.stderr)
             blocks += 1
     finally:
         for w in writers:
@@ -266,6 +303,9 @@ def _wideband_decode(cfg, k, max_blocks, kwargs) -> int:
 
     print(f"processed {blocks} wideband blocks x {k} channels, "
           f"{events} RDS events", file=sys.stderr)
+    if decoders is not None:
+        for c in range(k):
+            _print_rds_summary(decoders[c], prefix=f"[ch{c}] ")
     return 0
 
 
