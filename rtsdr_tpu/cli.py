@@ -57,6 +57,11 @@ def main(argv=None) -> int:
                         "into K stations decoded in one batched step, "
                         "writing channel<k>.wav per station (the "
                         "reference needs one dongle pipe per station)")
+    p.add_argument("--scan", action="store_true",
+                   help="with --wideband K: don't decode, just survey the "
+                        "band — per-channel RSSI, 19 kHz pilot SNR and "
+                        "57 kHz RDS SNR with a station/stereo/rds verdict "
+                        "(the reference operator retunes and listens)")
     p.add_argument("--stations", nargs="+", metavar="FILE", default=None,
                    help="batch mode: decode N capture files as one batched "
                         "receiver step; writes FILE.wav per station, RDS "
@@ -92,6 +97,11 @@ def main(argv=None) -> int:
     if args.resync:
         kwargs["resync"] = True
 
+    if args.scan:
+        if not args.wideband:
+            print("error: --scan requires --wideband K", file=sys.stderr)
+            return 1
+        return _band_scan(cfg, args.wideband, args.blocks)
     if args.stations:
         return _batch_decode(cfg, args.stations, args.blocks, kwargs,
                              rds_groups=args.rds_groups)
@@ -245,6 +255,48 @@ def _station_decoders(n, cfg, kwargs, rds_groups):
     from rtsdr_tpu.pipeline.groups import GroupDecoder
 
     return [GroupDecoder() for _ in range(n)]
+
+
+def _band_scan(cfg, k, max_blocks) -> int:
+    """Survey a wideband stdin capture: per-channel activity metrics
+    (pipeline/scan.py), block-averaged, as a table on stdout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtsdr_tpu.ops.channelizer import channel_center_freqs
+    from rtsdr_tpu.pipeline.scan import classify, make_band_scanner
+
+    init_fn, step_fn = make_band_scanner(cfg, k)
+    state = init_fn()
+    step = jax.jit(step_fn)
+    wbs = k * cfg.block_size
+    acc = []
+    blocks = 0
+    while max_blocks is None or blocks < max_blocks:
+        raw = sys.stdin.buffer.read(wbs)
+        if len(raw) < wbs:
+            break
+        m, state = step(state, jnp.asarray(np.frombuffer(raw, np.uint8)))
+        if blocks > 0:   # block 0 carries filter warm-up transients
+            acc.append(jax.tree.map(np.asarray, m))
+        blocks += 1
+    if not acc:
+        print("error: need at least 2 wideband blocks to scan",
+              file=sys.stderr)
+        return 1
+    mean = jax.tree.map(lambda *xs: np.mean(np.stack(xs), axis=0), *acc)
+    verdicts = classify(mean)
+    freqs = channel_center_freqs(k, k * cfg.rf.fs)
+    print(f"{'ch':>3} {'center':>9} {'RSSI dB':>8} {'pilot dB':>9} "
+          f"{'RDS dB':>7}  verdict")
+    for c in range(k):
+        print(f"{c:>3} {freqs[c] / 1e6:>+8.1f}M {mean.rssi_db[c]:>8.1f} "
+              f"{mean.pilot_snr_db[c]:>9.1f} {mean.rds_snr_db[c]:>7.1f}  "
+              f"{verdicts[c]}")
+    print(f"scanned {blocks} wideband blocks x {k} channels",
+          file=sys.stderr)
+    return 0
 
 
 def _wideband_decode(cfg, k, max_blocks, kwargs, rds_groups=False) -> int:
