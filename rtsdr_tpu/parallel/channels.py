@@ -58,3 +58,49 @@ def make_channel_sharded_receiver(
         return step_jit(state, raw_u8)
 
     return sharded_init, sharded_step, batch_sharding
+
+
+def make_wideband_sharded_receiver(
+    cfg: ReceiverConfig,
+    mesh: Mesh,
+    n_rf_channels: int,
+    dtype=jnp.float32,
+    **kwargs,
+):
+    """Wideband receiver (pipeline/wideband.py) decoded across the mesh:
+    one K-wide capture in, the K stations sharded over the ``ch`` axis.
+
+    The raw wideband stream is replicated (every device reads its bytes —
+    at 64 ms per block that transfer overlaps compute); the channelizer
+    matmul's output columns are constrained to the channel sharding, so
+    XLA materializes each station's baseband only on its own device and
+    the entire per-station chain runs without communication.
+    """
+    n_sh = mesh.shape[CHANNEL_AXIS]
+    assert n_rf_channels % n_sh == 0, (
+        f"{n_rf_channels} RF channels not divisible by {n_sh} shards")
+    from rtsdr_tpu.pipeline.wideband import make_wideband_receiver
+
+    iq_sharding = NamedSharding(mesh, P(CHANNEL_AXIS, None, None))
+    init_fn, step_fn = make_wideband_receiver(
+        cfg, n_rf_channels, dtype=dtype, channel_sharding=iq_sharding,
+        **kwargs)
+
+    repl = NamedSharding(mesh, P())
+
+    def sharded_init():
+        st = init_fn()
+        rx = jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh,
+                                 P(CHANNEL_AXIS, *([None] * (x.ndim - 1))))),
+            st.rx)
+        return st._replace(chan_zi=jax.device_put(st.chan_zi, repl), rx=rx)
+
+    step_jit = jax.jit(step_fn, donate_argnums=0)
+
+    def sharded_step(state, raw_u8):
+        raw_u8 = jax.device_put(raw_u8, repl)
+        return step_jit(state, raw_u8)
+
+    return sharded_init, sharded_step

@@ -42,6 +42,7 @@ def make_wideband_receiver(
     batch_shape: tuple = (),
     dtype=jnp.float32,
     taps_per_branch: int = 16,
+    channel_sharding=None,
     **receiver_kwargs,
 ):
     """Build ``(init_fn, step_fn)`` for a K-channel wideband receiver.
@@ -50,6 +51,12 @@ def make_wideband_receiver(
     interleaved uint8 IQ at ``fs_w = K * cfg.rf.fs``.  Outputs are the
     standard ``ReceiverOutputs`` with a trailing (..., K) channel batch
     dim prepended to each leaf's time axis.
+
+    ``channel_sharding``: optional ``NamedSharding`` for the channelizer
+    output (K, 2, M); constrains the per-station decode onto a device
+    mesh — the channelizer's banded matmul splits its output columns
+    across the channel axis and everything downstream stays local
+    (parallel/channels.py ``make_wideband_sharded_receiver``).
     """
     k = n_rf_channels
     h = np.asarray(channelizer_taps(k, taps_per_branch))
@@ -85,6 +92,9 @@ def make_wideband_receiver(
             y = jnp.moveaxis(y, -1, -2)
             raw_iq = jnp.stack([jnp.real(y), jnp.imag(y)],
                                axis=-2).astype(dtype)
+        if channel_sharding is not None:
+            raw_iq = jax.lax.with_sharding_constraint(raw_iq,
+                                                      channel_sharding)
         rx_state, out = step_rx(state.rx, raw_iq)
         return WidebandState(chan_zi=chan_zi, rx=rx_state), out
 

@@ -136,3 +136,36 @@ def test_u8_channelizer_matches_complex_path(rng):
         ours, zi_u = pfb_channelize_u8(jnp.asarray(raw), h, zi_u, k)
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=0,
                                    atol=2e-6)
+
+
+def test_wideband_channel_sharded_matches_single_device():
+    """The wideband receiver decoded across a (ch=8) mesh: the channelizer
+    output is sharding-constrained per station, everything downstream runs
+    device-local.  The partitioned program refuses differently, so equality
+    is to float32 accumulation noise (~5e-6 observed on a ~2.0 scale),
+    not bitwise."""
+    from rtsdr_tpu.parallel.channels import make_wideband_sharded_receiver
+    from rtsdr_tpu.parallel.mesh import make_mesh
+
+    k, n_blocks = 8, 2
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 256, n_blocks * k * MODE0.block_size,
+                       dtype=np.uint8)
+    kw = dict(enable_rds=False, enable_stereo=True)
+
+    init_fn, step_fn = make_wideband_receiver(MODE0, k, **kw)
+    mesh = make_mesh(8, 1)
+    init_sh, step_sh = make_wideband_sharded_receiver(MODE0, mesh, k, **kw)
+
+    state = init_fn()
+    state_sh = init_sh()
+    step = jax.jit(step_fn)
+    wbs = k * MODE0.block_size
+    for b in range(n_blocks):
+        blk = jnp.asarray(raw[b * wbs:(b + 1) * wbs])
+        state, out = step(state, blk)
+        state_sh, out_sh = step_sh(state_sh, blk)
+        np.testing.assert_allclose(np.asarray(out_sh.left),
+                                   np.asarray(out.left), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_sh.right),
+                                   np.asarray(out.right), atol=2e-5)
