@@ -128,16 +128,10 @@ def main(argv=None) -> int:
         if wav_w is not None:
             wav_w.write_int16_bytes(b)
 
-    decoder = None
-    frame_hook = None
-    if args.rds_groups and not args.no_rds and cfg.rds is not None:
-        from rtsdr_tpu.pipeline.groups import GroupDecoder, format_group
-
-        decoder = GroupDecoder()
-
-        def frame_hook(fo):
-            for g in decoder.feed(fo):
-                print(format_group(g), file=sys.stderr)
+    decoders = _station_decoders(1, cfg, kwargs, args.rds_groups)
+    decoder = decoders[0] if decoders else None
+    frame_hook = (None if decoders is None
+                  else lambda fo: _feed_groups(decoders, 0, fo, ""))
 
     try:
         stats = runner.run(
@@ -174,6 +168,9 @@ def _print_rds_summary(decoder, prefix: str = "") -> None:
     if decoder.af_mhz:
         afs = " ".join(f"{f:.1f}" for f in sorted(decoder.af_mhz))
         print(f"{prefix}RDS: AF [MHz]: {afs}", file=sys.stderr)
+    if decoder.af_lfmf_khz:
+        afs = " ".join(str(f) for f in sorted(decoder.af_lfmf_khz))
+        print(f"{prefix}RDS: AF LF/MF [kHz]: {afs}", file=sys.stderr)
     if decoder.clock is not None:
         print(f"{prefix}RDS: CT {decoder.clock}", file=sys.stderr)
 
@@ -225,11 +222,7 @@ def _batch_decode(cfg, files, max_blocks, kwargs, rds_groups=False) -> int:
                         print(f"[{files[c]}] {line}", file=sys.stderr)
                         events += 1
                     if decoders is not None:
-                        from rtsdr_tpu.pipeline.groups import format_group
-
-                        for g in decoders[c].feed(fo):
-                            print(f"[{files[c]}] {format_group(g)}",
-                                  file=sys.stderr)
+                        _feed_groups(decoders, c, fo, f"[{files[c]}] ")
             blocks += 1
     finally:
         for h in handles:
@@ -247,14 +240,23 @@ def _batch_decode(cfg, files, max_blocks, kwargs, rds_groups=False) -> int:
 
 
 def _station_decoders(n, cfg, kwargs, rds_groups):
-    """Per-station GroupDecoders for the multi-station CLI paths (None when
-    group decoding is off or the config has no RDS)."""
+    """Per-station GroupDecoders for the CLI paths (None when group
+    decoding is off or the config has no RDS)."""
     if not rds_groups or cfg.rds is None \
             or kwargs.get("enable_rds") is False:
         return None
     from rtsdr_tpu.pipeline.groups import GroupDecoder
 
     return [GroupDecoder() for _ in range(n)]
+
+
+def _feed_groups(decoders, c, fo, label):
+    """Feed one station's FrameOutputs to its decoder, printing completed
+    groups tagged with ``label``."""
+    from rtsdr_tpu.pipeline.groups import format_group
+
+    for g in decoders[c].feed(fo):
+        print(f"{label}{format_group(g)}", file=sys.stderr)
 
 
 def _band_scan(cfg, k, max_blocks) -> int:
@@ -342,11 +344,7 @@ def _wideband_decode(cfg, k, max_blocks, kwargs, rds_groups=False) -> int:
                         print(f"[ch{c}] {line}", file=sys.stderr)
                         events += 1
                     if decoders is not None:
-                        from rtsdr_tpu.pipeline.groups import format_group
-
-                        for g in decoders[c].feed(fo):
-                            print(f"[ch{c}] {format_group(g)}",
-                                  file=sys.stderr)
+                        _feed_groups(decoders, c, fo, f"[ch{c}] ")
             blocks += 1
     finally:
         for w in writers:

@@ -18,6 +18,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def psd_freqs(nfft: int, fs: float) -> np.ndarray:
+    """The frequency grid of ``estimate_psd``'s bins (host numpy)."""
+    return np.arange(0, fs / 2.0, fs / nfft)[: nfft // 2]
+
+
 def estimate_psd(samples: jax.Array, nfft: int, fs: float,
                  eps: float = 1e-30) -> tuple[np.ndarray, jax.Array]:
     """Bartlett PSD estimate.
@@ -45,5 +50,4 @@ def estimate_psd(samples: jax.Array, nfft: int, fs: float,
     db = 10.0 * jnp.log10(power + eps)
     psd = jnp.mean(db, axis=-2)
 
-    freq = np.arange(0, fs / 2.0, fs / nfft)[: nfft // 2]
-    return freq, psd
+    return psd_freqs(nfft, fs), psd

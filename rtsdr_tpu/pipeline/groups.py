@@ -93,9 +93,12 @@ class GroupDecoder:
     pty: int | None = None
     ps: list = field(default_factory=lambda: [" "] * 8)
     radiotext: list = field(default_factory=lambda: [" "] * 64)
-    af_mhz: set = field(default_factory=set)      # from 0A block C
+    af_mhz: set = field(default_factory=set)      # from 0A block C (VHF)
+    af_lfmf_khz: set = field(default_factory=set)  # LF/MF AFs (after 250)
     af_declared: int | None = None                # "N AFs follow" marker
     clock: ClockTime | None = None                # latest 4A group
+    _af_lfmf_next: bool = False                   # code 250 seen: next
+    #                                               code is an LF/MF number
     groups: list = field(default_factory=list)
     _window: list = field(default_factory=list)   # recent (pos, sid, info)
     _last_pos: int = -1                           # seam-duplicate guard
@@ -120,6 +123,26 @@ class GroupDecoder:
                 new.append(g)
         self.groups.extend(new)
         return new
+
+    def _decode_af_pair(self, ic: int) -> None:
+        """Two AF codes from a 0A block C.  Code 250 = 'an LF/MF frequency
+        follows': the next code (possibly in the next group) is an LF/MF
+        channel number, not a VHF carrier."""
+        for code in ((ic >> 8) & 0xFF, ic & 0xFF):
+            if self._af_lfmf_next:
+                self._af_lfmf_next = False
+                if 1 <= code <= 15:            # LF 153-279 kHz, 9 kHz grid
+                    self.af_lfmf_khz.add(153 + 9 * (code - 1))
+                elif 16 <= code <= 135:        # MF 531-1602 kHz
+                    self.af_lfmf_khz.add(531 + 9 * (code - 16))
+            elif code == 250:
+                self._af_lfmf_next = True
+            elif 225 <= code <= 249:
+                self.af_declared = code - 224
+            else:
+                f = decode_af_code(code)
+                if f is not None:
+                    self.af_mhz.add(f)
 
     def _try_assemble(self):
         if len(self._window) < 4:
@@ -148,13 +171,7 @@ class GroupDecoder:
             self.ps[2 * seg] = chr((id_ >> 8) & 0xFF)
             self.ps[2 * seg + 1] = chr(id_ & 0xFF)
             if g.version == 0:           # 0A block C = two AF codes
-                for code in ((ic >> 8) & 0xFF, ic & 0xFF):
-                    if 225 <= code <= 249:
-                        self.af_declared = code - 224
-                    else:
-                        f = decode_af_code(code)
-                        if f is not None:
-                            self.af_mhz.add(f)
+                self._decode_af_pair(ic)
         elif g.group_type == 4 and g.version == 0:
             mjd = ((ib & 0x3) << 15) | (ic >> 1)
             year, month, day = mjd_to_date(mjd)

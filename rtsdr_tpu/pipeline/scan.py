@@ -29,7 +29,7 @@ from rtsdr_tpu.ops.channelizer import (
     channelizer_zi_u8,
     pfb_channelize_u8,
 )
-from rtsdr_tpu.ops.psd import estimate_psd
+from rtsdr_tpu.ops.psd import estimate_psd, psd_freqs
 from rtsdr_tpu.pipeline.frontend import FrontendState, frontend_init, make_frontend
 
 
@@ -60,7 +60,7 @@ def make_band_scanner(cfg: ReceiverConfig, n_rf_channels: int,
     fe_fn = make_frontend(cfg, impl="iq")
     if_fs = cfg.rf.if_fs
 
-    freqs = np.arange(0, if_fs / 2.0, if_fs / nfft)[: nfft // 2]
+    freqs = psd_freqs(nfft, if_fs)
     pilot_bins = _band_bins(freqs, 19e3, 500.0)
     rds_bins = _band_bins(freqs, 57e3, 1500.0)
     # noise floor: median of the FM multiplex band, away from DC
@@ -88,21 +88,24 @@ def make_band_scanner(cfg: ReceiverConfig, n_rf_channels: int,
 
 
 def classify(m: "np.ndarray | ScanMetrics",
-             rssi_margin_db: float = 10.0,
+             rssi_floor_db: float = -35.0,
              snr_db: float = 8.0) -> list:
     """Human verdict per channel from (block-averaged) ScanMetrics.
 
-    A slot is a *station* when its RSSI clears the band's quietest slot
-    by ``rssi_margin_db`` (empty slots sit at the quantization/thermal
-    floor); pilot/RDS tags need ``snr_db`` over the multiplex floor.
+    A slot is a *station* when its RSSI clears ``rssi_floor_db`` — an
+    absolute threshold against normalized full scale: an empty slot of a
+    uint8 capture sits at the quantization floor (~-50 dB; thermal noise
+    in a real capture is somewhat higher), while any decodable carrier is
+    tens of dB up.  Absolute, not relative to the quietest slot, so a
+    fully-occupied band (or K=1) classifies correctly.  Pilot/RDS tags
+    need ``snr_db`` over the multiplex floor.
     """
     rssi = np.asarray(m.rssi_db)
     pilot = np.asarray(m.pilot_snr_db)
     rds = np.asarray(m.rds_snr_db)
-    floor = rssi.min()
     out = []
     for c in range(rssi.shape[-1]):
-        if rssi[c] < floor + rssi_margin_db:
+        if rssi[c] < rssi_floor_db:
             out.append("empty")
             continue
         tags = ["station"]

@@ -137,6 +137,25 @@ def test_groups_decode_af_and_clock(decoded_station):
     assert str(ct) == "2026-08-18 03:45 UTC-2.5"
 
 
+def test_af_pair_decoding_special_codes():
+    """Code 250 marks the NEXT code (even across groups) as an LF/MF
+    channel number, never a VHF carrier; 205 is filler; 224+N declares."""
+    from rtsdr_tpu.pipeline.groups import GroupDecoder
+
+    dec = GroupDecoder()
+    dec._decode_af_pair((226 << 8) | 106)   # declare 2, 98.1 MHz
+    dec._decode_af_pair((250 << 8) | 16)    # LF/MF follows; 16 -> 531 kHz
+    assert dec.af_mhz == {98.1}
+    assert dec.af_lfmf_khz == {531}
+    assert dec.af_declared == 2
+
+    dec = GroupDecoder()
+    dec._decode_af_pair((180 << 8) | 250)   # 105.5 MHz; LF/MF in NEXT group
+    dec._decode_af_pair((1 << 8) | 205)     # 1 -> 153 kHz LF; filler
+    assert dec.af_mhz == {105.5}            # code 1 NOT decoded as 87.6 MHz
+    assert dec.af_lfmf_khz == {153}
+
+
 def test_mjd_date_conversion():
     """IEC 62106 annex G decode vs the standard encode, across month/leap
     edges (incl. the k-correction months Jan/Feb)."""
