@@ -93,12 +93,49 @@ def bench_wideband(k=16, batch=8):
             "unit": "x_realtime"}
 
 
+def bench_mode1_rds(n_ch=512):
+    from rtsdr_tpu.config import MODE1_RDS
+    from rtsdr_tpu.pipeline.receiver import make_receiver
+
+    init_fn, step_fn = make_receiver(MODE1_RDS, (n_ch,), jnp.float32)
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.integers(0, 256, (n_ch, MODE1_RDS.block_size),
+                                   np.uint8))
+    sec = slope_time(step_fn, jax.jit(init_fn)(), raw)
+    block_s = MODE1_RDS.block_size / 2 / MODE1_RDS.rf.fs
+    return {"metric": "mode1_rds_chain_realtime_multiple_per_chip",
+            "channels": n_ch, "ms_per_step": round(sec * 1e3, 4),
+            "value": round(n_ch * block_s / sec, 1),
+            "unit": "x_realtime"}
+
+
+def bench_scan(k=16, batch=8):
+    from rtsdr_tpu.config import MODE0
+    from rtsdr_tpu.pipeline.scan import make_band_scanner
+
+    init_fn, step_fn = make_band_scanner(MODE0, k)
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.integers(0, 256, (k * MODE0.block_size,),
+                                   np.uint8))
+
+    def step(state, raw_u8):   # metrics-first so slope_time fetches them
+        m, st = step_fn(state, raw_u8)
+        return st, m
+
+    sec = slope_time(step, jax.jit(init_fn)(), raw)
+    block_s = MODE0.block_size / 2 / MODE0.rf.fs
+    return {"metric": "band_scan_realtime_multiple_per_chip",
+            "rf_channels": k, "ms_per_step": round(sec * 1e3, 4),
+            "value": round(k * block_s / sec, 1),
+            "unit": "x_realtime"}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     recs = []
-    for fn in (bench_mode1, bench_wideband):
+    for fn in (bench_mode1, bench_wideband, bench_mode1_rds, bench_scan):
         r = fn()
         recs.append(r)
         print(json.dumps(r), flush=True)
