@@ -35,8 +35,11 @@ def test_scan_classifies_band():
     wave = rds_baseband(encode_rds_blocks(
         [int(w) for w in rng.integers(0, 1 << 16, 120)]))
     raw = _wideband_capture(k, n_blocks, {
-        # slot 1: full station — stereo pilot + RDS
-        1: dict(rds_wave=wave, rng=np.random.default_rng(7)),
+        # slot 1: full station — stereo pilot + RDS, pilot detuned +300 Hz
+        # (a real exciter offset; the probes use +-500 Hz / +-1.5 kHz
+        # windows so detuned stations still classify)
+        1: dict(rds_wave=wave, pilot_hz=19.3e3,
+                rng=np.random.default_rng(7)),
         # slot 3: mono-only carrier — no pilot, no stereo, no RDS
         3: dict(pilot_amp=0.0, stereo_amp=0.0, mono_amp=0.9,
                 rng=np.random.default_rng(8)),
