@@ -128,3 +128,15 @@ def test_cli_end_to_end(tmp_path):
     expected = 2 * np.pi * 75e3 * 0.45 / 240e3 / 2  # L = (mono+stereo)/2
     assert amp > 0.5 * expected
     assert b"processed 2 blocks" in proc.stderr
+
+
+def test_cli_scan_requires_wideband():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-m", "rtsdr_tpu.cli", "0", "--scan"],
+        capture_output=True, env=env, stdin=subprocess.DEVNULL,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=120)
+    assert proc.returncode == 1
+    assert b"--scan requires --wideband" in proc.stderr
