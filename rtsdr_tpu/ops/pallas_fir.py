@@ -198,12 +198,15 @@ def fir_block_pre(x, h, zi, pre: str, x2=None
 
 
 def fir_bank(x, h_list, stride: int = 1, x2=None, pre: str = "none",
-             block: int | None = None) -> list[jax.Array]:
+             block: int | None = None,
+             tile: int | None = None) -> list[jax.Array]:
     """F same-length filters over one (c, n) f32 input, fused windows.
 
     Returns F arrays (c, n//stride); zero-state convolution (the caller
     adds the overlap-save boundary term).  ``pre`` applies elementwise
-    before filtering: "square" -> x*x, "mul2" -> 2*x*x2.
+    before filtering: "square" -> x*x, "mul2" -> 2*x*x2.  ``block``/
+    ``tile`` override the output-block / channel-tile geometry (A/B
+    probes; defaults are the production choices).
     """
     taps = len(h_list[0])
     assert all(len(h) == taps for h in h_list)
@@ -213,4 +216,4 @@ def fir_bank(x, h_list, stride: int = 1, x2=None, pre: str = "none",
                         jnp.bfloat16)
     c = x.shape[0]
     return _pallas_fir(x, x if x2 is None else x2, h_mat, stride, block,
-                       tile_channels(c), hw, pre)
+                       tile or tile_channels(c), hw, pre)
