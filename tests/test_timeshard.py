@@ -90,6 +90,28 @@ def test_time_sharded_mode1(station_u8):
                                       np.asarray(ser_outs[b].left))
 
 
+def test_time_sharded_mode1_rds(station_u8):
+    """MODE1_RDS (x57/250 RDS path) on the mesh: the new config's rds_len
+    (3648) and symbol grid must survive the time split bit-for-bit."""
+    from rtsdr_tpu.config import MODE1_RDS
+
+    iq = synth_multiplex_iq(N_BLOCKS * MODE1_RDS.block_size // 2,
+                            rf_fs=2.5e6)
+    mesh = make_mesh(2, 4)
+    init_fn, step_fn = make_time_sharded_receiver(MODE1_RDS, mesh, 2,
+                                                  jnp.float32)
+    state = init_fn()
+    ser_state, ser_outs = _run_serial(MODE1_RDS, iq, 2, N_BLOCKS)
+    bs = MODE1_RDS.block_size
+    for b in range(N_BLOCKS):
+        blk = jnp.asarray(np.stack([iq[b * bs:(b + 1) * bs]] * 2))
+        state, out = step_fn(state, blk)
+        np.testing.assert_array_equal(np.asarray(out.left),
+                                      np.asarray(ser_outs[b].left))
+        np.testing.assert_array_equal(np.asarray(out.rds.syndrome_id),
+                                      np.asarray(ser_outs[b].rds.syndrome_id))
+
+
 def test_channel_sharded_equals_serial(station_u8):
     mesh = make_mesh(8, 1)
     init_fn, step_fn, _ = make_channel_sharded_receiver(MODE0, mesh, 8,
