@@ -197,6 +197,210 @@ def fir_block_pre(x, h, zi, pre: str, x2=None
     return fir_block(xp, h, zi)
 
 
+def _resample_geom(n: int, up: int, down: int, t1: int,
+                   block: int | None = None, hw: int | None = None,
+                   max_h_bytes: int = 4 << 20):
+    """Search an output-block geometry for the fused polyphase kernel.
+
+    Returns (b, a_w, hw) — b outputs per grid step (multiple of ``up`` so
+    every block starts at phase 0), a_w = b*down/up input samples advanced
+    per step (must be lane-aligned), hw = look-back head width (lane-
+    aligned divisor of a_w covering the g = ceil(t1/up) x-domain taps).
+    None if no geometry fits (caller falls back to the XLA path).
+    """
+    if (n * up) % down:
+        return None
+    m = n * up // down
+    g = -(-t1 // up)
+    cands = ([block] if block else
+             [up * k for k in (4, 8, 12, 16, 24, 32, 48, 64)])
+    best = None
+    for b in cands:
+        if b % up or m % b or (b * down) % up:
+            continue
+        a_w = b * down // up
+        if a_w % 128 or n % a_w:
+            continue
+        span = (b - 1) * down // up + g + 1
+        bp = -(-b // 128) * 128  # output blocks are lane-padded
+        hws = [hw] if hw else [h for h in range(128, a_w + 1, 128)]
+        for h_w in hws:
+            if h_w < g or a_w % h_w or span > h_w + a_w:
+                continue
+            if (h_w + a_w) * bp * 2 > max_h_bytes:
+                continue
+            # total MXU work ~ nblk * K * padded-out-width
+            cost = (m // b) * (h_w + a_w) * bp
+            if best is None or cost < best[0]:
+                best = (cost, b, a_w, h_w)
+    return best[1:] if best else None
+
+
+def _resample_h(h: np.ndarray, up: int, down: int, b: int, hw: int,
+                a_w: int, gain: float) -> np.ndarray:
+    """Phase-banded filter matrix in kernel window coordinates.
+
+    Window position p maps to x index i = j*a_w - hw + p; output column r
+    (absolute output m = j*b + r) reads tap k = m*down - i*up = r*down +
+    hw*up - p*up — the j terms cancel because b*down = a_w*up, so one
+    matrix serves every grid step.  ``gain`` (Parseval) folds in here."""
+    t1 = len(h) - 1
+    bp = -(-b // 128) * 128
+    p = np.arange(hw + a_w)[:, None]
+    r = np.arange(bp)[None, :]
+    k = r * down + hw * up - p * up
+    valid = (k >= 0) & (k <= t1) & (r < b)  # columns >= b are lane padding
+    h64 = np.asarray(h, np.float64) * gain
+    return np.where(valid, h64[np.clip(k, 0, t1)], 0.0).astype(np.float32)
+
+
+def _resample_mix_kernel(eh, ea, ih, ia, qh, qa, h_ref, yi, yq):
+    """One (channel-tile, output-block) step of mixer + resampler.
+
+    Builds the two mixed IF-rate streams (2*extract*nco_i/q) directly in
+    VMEM from their head/A input blocks, truncates to bf16 (numerically
+    identical to the XLA path's windows: TPU f32 dots truncate operands
+    anyway) and contracts both against the shared phase-banded matrix in
+    ONE dot (branches stacked on the sublane axis).  The head block's
+    contribution is masked at j=0 where it is semantically the left
+    zero-pad."""
+    j = pl.program_id(1)
+    mask = (j > 0).astype(jnp.float32)
+    e2 = jnp.concatenate([eh[...] * mask, ea[...]], axis=-1) * 2.0
+    wi = (e2 * jnp.concatenate([ih[...], ia[...]], axis=-1)
+          ).astype(jnp.bfloat16)
+    wq = (e2 * jnp.concatenate([qh[...], qa[...]], axis=-1)
+          ).astype(jnp.bfloat16)
+    w = jnp.concatenate([wi, wq], axis=0)
+    o = jax.lax.dot_general(
+        w, h_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    tc = yi.shape[0]
+    yi[...] = o[:tc]
+    yq[...] = o[tc:]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7), inline=True)
+def _pallas_resample_mix(e, ni, nq, h_mat, b: int, a_w: int, tile_c: int,
+                         hw: int):
+    """Returns lane-padded outputs (c, nblk*bp); the wrapper strips the
+    bp-b zero columns per block (Mosaic requires 128-divisible output
+    block lanes; b is a multiple of ``up`` instead)."""
+    c, n = e.shape
+    m = n * b // a_w
+    nblk = m // b
+    bp = -(-b // 128) * 128
+    ratio = a_w // hw
+
+    def head_map(i, j):
+        return (i, jnp.maximum(j * ratio - 1, 0))
+
+    def a_map(i, j):
+        return (i, j)
+
+    def specs():
+        return [
+            pl.BlockSpec((tile_c, hw), head_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, a_w), a_map, memory_space=pltpu.VMEM),
+        ]
+
+    in_specs = specs() + specs() + specs()
+    in_specs.append(pl.BlockSpec((hw + a_w, bp), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        _resample_mix_kernel,
+        grid=(c // tile_c, nblk),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((tile_c, bp), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((c, nblk * bp), jnp.float32)] * 2,
+        interpret=jax.default_backend() != "tpu",
+    )(e, e, ni, ni, nq, nq, h_mat)
+    if bp == b:
+        return outs
+    return [o.reshape(c, nblk, bp)[..., :b].reshape(c, m) for o in outs]
+
+
+def resample_mul2(extract, nco_i, nco_q, h, zi, up: int, down: int,
+                  gain: float | None = None, block: int | None = None,
+                  hw: int | None = None, tile: int | None = None,
+                  impl: str = "auto") -> tuple[jax.Array, jax.Array]:
+    """Fused RDS mixer + rational resampler: the C11 mixer (2*x*nco,
+    src/filter.cpp:373-401) and the C8/C9 polyphase resampler
+    (src/filter.cpp:301-339) in one Pallas pass.
+
+    Equivalent to ``fir_resample(2*extract*stack([nco_i, nco_q]), h, zi,
+    up, down)`` but the (..., 2, N) mixed IF-rate buffer and the im2col
+    windows never touch HBM — both live in VMEM per grid step.  The
+    carried upsampled-domain tail enters via the same boundary matmul as
+    ``ops.fir._resample_polyphase_matmul``; ``new_zi`` is the upsampled
+    tail of the mixed stream, computed from the last ceil(t1/up) input
+    samples only.
+
+    Falls back to the materialized-mixer XLA path off-TPU / for
+    geometries the kernel does not fit (e.g. MODE1_RDS's x57/250, whose
+    phase-banded matrix exceeds VMEM).
+    """
+    from rtsdr_tpu.ops.fir import (
+        _upsampled_tail_of,
+        fir_resample,
+    )
+
+    if gain is None:
+        gain = float(up)
+    h_np = None
+    if not isinstance(h, jax.core.Tracer):
+        try:
+            h_np = np.asarray(h, np.float64)
+        except Exception:
+            h_np = None
+    taps = len(h) if h_np is None else h_np.shape[0]
+    t1 = taps - 1
+    n = extract.shape[-1]
+    batch = extract.shape[:-1]
+    flat = int(np.prod(batch)) if batch else 1
+    geom = (_resample_geom(n, up, down, t1, block, hw)
+            if h_np is not None else None)
+    ok = (extract.dtype == jnp.float32 and geom is not None
+          and tile_channels(flat) and extract.ndim >= 2
+          and (jax.default_backend() == "tpu" or impl == "pallas"))
+    if impl == "xla" or not ok:
+        mixed = 2.0 * extract[..., None, :] * jnp.stack(
+            [nco_i, nco_q], axis=-2)
+        return fir_resample(mixed, h, zi, up, down, gain=gain)
+
+    b, a_w, h_w = geom
+    h_mat = jnp.asarray(_resample_h(h_np, up, down, b, h_w, a_w, gain),
+                        jnp.bfloat16)
+    e2 = extract.reshape(flat, n)
+    yi, yq = _pallas_resample_mix(e2, nco_i.reshape(flat, n),
+                                  nco_q.reshape(flat, n), h_mat, b, a_w,
+                                  tile or tile_channels(flat), h_w)
+    m = n * up // down
+    y = jnp.stack([yi, yq], axis=-2).reshape(*batch, 2, m)
+
+    # boundary: the first ceil(t1/down) outputs also read the carried zi
+    # (upsampled domain), exactly as ops.fir._resample_polyphase_matmul
+    nb = -(-t1 // down)
+    rz = np.arange(nb)[:, None]
+    jj = np.arange(t1)[None, :]
+    kz = rz * down + t1 - jj
+    validz = (jj >= rz * down) & (kz >= 0) & (kz <= t1)
+    hz = jnp.asarray(
+        np.where(validz, (h_np * gain)[np.clip(kz, 0, t1)], 0.0),
+        jnp.float32)
+    y_zi = jax.lax.dot_general(
+        zi, hz, dimension_numbers=(((zi.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y.at[..., :nb].add(y_zi)
+
+    kt = -(-t1 // up)
+    tail = 2.0 * extract[..., None, -kt:] * jnp.stack(
+        [nco_i[..., -kt:], nco_q[..., -kt:]], axis=-2)
+    new_zi = _upsampled_tail_of(tail, t1, up)
+    return y, new_zi
+
+
 def fir_bank(x, h_list, stride: int = 1, x2=None, pre: str = "none",
              block: int | None = None,
              tile: int | None = None) -> list[jax.Array]:

@@ -79,7 +79,8 @@ def rds_init(cfg: ReceiverConfig, batch_shape: tuple = (),
     )
 
 
-def make_rds(cfg: ReceiverConfig, pll_impl: str = "auto"):
+def make_rds(cfg: ReceiverConfig, pll_impl: str = "auto",
+             resamp_impl: str = "auto"):
     """Returns ``rds(state, fm_demod) -> ((rrc_i, rrc_q), new_state)``.
 
     fm_demod: (..., if_len); rrc outputs: (..., rds_len) at 57 kS/s.
@@ -118,11 +119,16 @@ def make_rds(cfg: ReceiverConfig, pll_impl: str = "auto"):
                 nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
                 norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl)
 
-        # I/Q mixers, stacked so every later filter runs once; LPF +
-        # anti-image + decimation all inside one composed polyphase matmul
-        mixed = 2.0 * extract[..., None, :] * jnp.stack([nco_i, nco_q], axis=-2)
-        resamp, resamp_zi = fir_resample(mixed, comb_h, state.resamp_zi,
-                                         r.up, r.down)
+        # I/Q mixers fused into the composed polyphase resampler: one
+        # Pallas pass does mixer + 3 kHz LPF + anti-image + decimation
+        # with neither the mixed IF-rate streams nor the im2col windows
+        # touching HBM (falls back to the stacked-mixer XLA matmul off
+        # TPU or when the geometry is ineligible, e.g. MODE1_RDS)
+        from rtsdr_tpu.ops.pallas_fir import resample_mul2
+
+        resamp, resamp_zi = resample_mul2(extract, nco_i, nco_q, comb_h,
+                                          state.resamp_zi, r.up, r.down,
+                                          impl=resamp_impl)
         rrc, rrc_zi = fir_block(resamp, rrc_h, state.rrc_zi)
 
         new_state = RDSState(

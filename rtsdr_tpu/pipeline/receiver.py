@@ -68,6 +68,7 @@ def make_receiver(
     pll_impl: str = "auto",
     deemphasis: float | None = None,
     frontend_impl: str = "auto",
+    resamp_impl: str = "auto",
 ):
     """Build ``(init_fn, step_fn)`` for the full receiver.
 
@@ -87,7 +88,8 @@ def make_receiver(
     frontend = make_frontend(cfg, dtype, impl=frontend_impl)
     audio = make_audio(cfg, enable_stereo=enable_stereo,
                        pll_impl=pll_impl, deemphasis=deemphasis)
-    rds_fn = make_rds(cfg, pll_impl=pll_impl) if enable_rds else None
+    rds_fn = (make_rds(cfg, pll_impl=pll_impl, resamp_impl=resamp_impl)
+              if enable_rds else None)
 
     # With both stereo and RDS on, three IF-rate band-passes (pilot,
     # stereo channel, RDS extraction) filter the SAME demodulated signal

@@ -96,3 +96,70 @@ def test_ineligible_shapes(rng):
     assert not eligible(x, 151, 1)
     x = jnp.zeros((32, 2560), jnp.float32)        # 1-tap filter (hw = 0)
     assert not eligible(x, 1, 1)
+
+
+class TestResampleMul2:
+    """Fused mixer + polyphase resampler vs the materialized-mixer path."""
+
+    UP, DOWN = 19, 80
+
+    def _comb(self):
+        from rtsdr_tpu.config import MODE0
+        from rtsdr_tpu.pipeline.rds import composed_resampler_taps
+
+        return composed_resampler_taps(MODE0)  # 3001 taps
+
+    def _ref(self, e, ni, nq, h, zi):
+        from rtsdr_tpu.ops.fir import fir_resample
+
+        mixed = 2.0 * e[..., None, :] * jnp.stack([ni, nq], axis=-2)
+        return fir_resample(mixed, h, zi, self.UP, self.DOWN)
+
+    def test_matches_xla_path(self, rng):
+        from rtsdr_tpu.ops.pallas_fir import _resample_geom, resample_mul2
+
+        h = self._comb()
+        c, n = 32, 3840
+        assert _resample_geom(n, self.UP, self.DOWN, len(h) - 1)
+        e = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        ni = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        nq = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        zi = jnp.asarray(
+            rng.standard_normal((c, 2, len(h) - 1)).astype(np.float32))
+        y, new_zi = resample_mul2(e, ni, nq, h, zi, self.UP, self.DOWN,
+                                  impl="pallas")
+        ref, ref_zi = self._ref(e, ni, nq, h, zi)
+        assert y.shape == ref.shape == (c, 2, n * self.UP // self.DOWN)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=0, atol=_bf16_tol(ref))
+        np.testing.assert_array_equal(np.asarray(new_zi),
+                                      np.asarray(ref_zi))
+
+    def test_block_seam(self, rng):
+        """Chained blocks == one double block (bf16 tolerance at the
+        seam, where the carry enters via the f32 boundary matmul)."""
+        from rtsdr_tpu.ops.pallas_fir import resample_mul2
+
+        h = self._comb()
+        c, n = 32, 3840
+        t1 = len(h) - 1
+        mk = lambda: jnp.asarray(
+            rng.standard_normal((c, 2 * n)).astype(np.float32))
+        e, ni, nq = mk(), mk(), mk()
+        zi0 = jnp.zeros((c, 2, t1), jnp.float32)
+        y1, zi = resample_mul2(e[:, :n], ni[:, :n], nq[:, :n], h, zi0,
+                               self.UP, self.DOWN, impl="pallas")
+        y2, _ = resample_mul2(e[:, n:], ni[:, n:], nq[:, n:], h, zi,
+                              self.UP, self.DOWN, impl="pallas")
+        y_full, _ = resample_mul2(e, ni, nq, h, zi0, self.UP, self.DOWN,
+                                  impl="pallas")
+        chained = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+        full = np.asarray(y_full)
+        np.testing.assert_allclose(chained, full, rtol=0,
+                                   atol=_bf16_tol(full))
+
+    def test_mode1_geometry_falls_back(self):
+        """MODE1_RDS x57/250: phase-banded matrix too large -> XLA path."""
+        from rtsdr_tpu.ops.pallas_fir import _resample_geom
+
+        assert _resample_geom(16000, 57, 250, 8700) is None
