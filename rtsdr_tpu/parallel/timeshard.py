@@ -291,13 +291,24 @@ def make_time_sharded_receiver(
                 pre_pll, state.rds.pll, freq=rp.freq, fs=cfg.rf.if_fs,
                 nco_scale=rp.nco_scale, phase_adjust=rp.phase_adjust,
                 norm_bandwidth=rp.norm_bandwidth, impl=pll_impl)
-            mixed_rds = 2.0 * extract[..., None, :] * jnp.stack(
-                [nco_i, nco_q], axis=-2)
-            mix_u_tail = _upsampled_tail(mixed_rds, comb_taps - 1,
+            # mixer fused into the polyphase resampler (same fast kernel
+            # as the serial receiver, pipeline/rds.py); the halo is the
+            # left neighbor's mixed-stream upsampled tail, computed from
+            # the last ceil(t1/up) samples only — the (..., 2, N) mixed
+            # chunk never materializes on the fused path
+            from rtsdr_tpu.ops.pallas_fir import resample_mul2
+
+            kt = -(-(comb_taps - 1) // cfg.rds.up)
+            local_tail = 2.0 * extract[..., None, -kt:] * jnp.stack(
+                [nco_i[..., -kt:], nco_q[..., -kt:]], axis=-2)
+            mix_u_tail = _upsampled_tail(local_tail, comb_taps - 1,
                                          cfg.rds.up)
-            resamp, resamp_zi = halo_fir(fir_resample, mixed_rds, comb_h,
-                                         state.rds.resamp_zi, cfg.rds.up,
-                                         cfg.rds.down, tail=mix_u_tail)
+            resamp_zi_eff = first_or(state.rds.resamp_zi,
+                                     send_right(mix_u_tail))
+            resamp, resamp_zi_loc = resample_mul2(
+                extract, nco_i, nco_q, comb_h, resamp_zi_eff,
+                cfg.rds.up, cfg.rds.down)
+            resamp_zi = from_last(resamp_zi_loc)
             rrc, rrc_zi = halo_fir(fir_block, resamp, rrc_h,
                                    state.rds.rrc_zi)
             rds_state = RDSState(
