@@ -73,8 +73,7 @@ def _wrap_pi(z):
     return z - _TWO_PI * jnp.round(z * (1.0 / _TWO_PI))
 
 
-def _kernel_v4(x_ref, p_ref, s_ref, ni_ref, nq_ref, s_out_ref, carry,
-               xt, ni, nq, *, chunk, kq, ki, delayed):
+def _kernel_v4(*refs, chunk, kq, ki, delayed, part_rows):
     """v4: the whole PLL stage in one kernel — layout transposes, theta
     reconstruction, the 2-row recurrence, NCO cos/sin synthesis and the
     delayed-by-one output all live here.
@@ -98,6 +97,9 @@ def _kernel_v4(x_ref, p_ref, s_ref, ni_ref, nq_ref, s_out_ref, carry,
     (arg0 - phase0, used only at the very first step), 5/6 nco i/q
     carry-in, 7 dtheta, 8 nco_scale, 9 phase_adjust.
     """
+    n_p = len(part_rows)
+    x_refs = refs[:n_p]
+    (p_ref, s_ref, ni_ref, nq_ref, s_out_ref, carry, xt, ni, nq) = refs[n_p:]
     first = pl.program_id(0) == 0
 
     @pl.when(first)
@@ -107,7 +109,13 @@ def _kernel_v4(x_ref, p_ref, s_ref, ni_ref, nq_ref, s_out_ref, carry,
         carry[2, :] = s_ref[5, :]
         carry[3, :] = s_ref[6, :]
 
-    xt[...] = x_ref[...].T
+    # in-VMEM transpose to time-major; multi-part inputs (e.g. the
+    # receiver's pilot + RDS-carrier pair) land at their lane offsets —
+    # the stacked copy never exists in HBM
+    off = 0
+    for xr, rows_n in zip(x_refs, part_rows):
+        xt[:, off:off + rows_n] = xr[...].T
+        off += rows_n
     integ0, phase0 = carry[0, :], carry[1, :]
     nco_i0, nco_q0 = carry[2, :], carry[3, :]
     if kq is None:
@@ -265,9 +273,19 @@ def pll_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    dtype = x.dtype
-    batch_shape = x.shape[:-1]
-    n = x.shape[-1]
+    # tuple input = jnp.stack(x, axis=0) semantics; the v4 kernel reads
+    # the parts directly (no stacked HBM copy — the receiver's fused
+    # stereo+RDS pair saves a full IF-rate buffer per step)
+    parts = list(x) if isinstance(x, (tuple, list)) else None
+    if parts is not None:
+        x0 = parts[0]
+        dtype = x0.dtype
+        batch_shape = (len(parts),) + x0.shape[:-1]
+        n = x0.shape[-1]
+    else:
+        dtype = x.dtype
+        batch_shape = x.shape[:-1]
+        n = x.shape[-1]
     c_real = 1
     for d in batch_shape:
         c_real *= d
@@ -293,11 +311,15 @@ def pll_pallas(
 
     if len(spans) <= _MAX_SPANS and _v4_chunk(n, c) is not None:
         # fully-fused path: NCO synthesis, delay and transposes in-kernel
-        return _call_v4(x.reshape(c_real, n), state, kp_np, ki_np, spans,
+        x2d_parts = ([p.reshape(-1, n) for p in parts] if parts is not None
+                     else [x.reshape(c_real, n)])
+        return _call_v4(x2d_parts, state, kp_np, ki_np, spans,
                         nco_scale, phase_adjust, n, c, c_real, dtype,
                         batch_shape, interpret, delay_output, np_t,
                         lane_np)
 
+    if parts is not None:
+        x = jnp.stack(parts, axis=0)
     xt = x.reshape(c_real, n).T  # (N, C_real)
     if c != c_real:
         xt = jnp.pad(xt, ((0, 0), (0, c - c_real)))
@@ -344,13 +366,21 @@ def _v4_chunk(n: int, c: int) -> int | None:
                  if n % s == 0 and s % 128 == 0), None)
 
 
-def _call_v4(x2d, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
+def _call_v4(x2d_parts, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
              n, c, c_real, dtype, batch_shape, interpret, delay_output,
              np_t, lane_np):
     """Fully-fused kernel path: channel-major in/out, no XLA glue.
 
-    Returns (nco_i, nco_q, new_state) shaped like ``ops.pll.pll``."""
-    x_cm = x2d if c == c_real else jnp.pad(x2d, ((0, c - c_real), (0, 0)))
+    ``x2d_parts``: list of (c_i, n) arrays concatenated logically along
+    the channel axis (sum c_i = c_real) — each becomes its own input ref
+    and lands in the in-VMEM transpose at its lane offset, so a stacked
+    pair never materializes in HBM.  Returns (nco_i, nco_q, new_state)
+    shaped like ``ops.pll.pll``."""
+    if c != c_real:
+        last = x2d_parts[-1]
+        x2d_parts = x2d_parts[:-1] + [
+            jnp.pad(last, ((0, c - c_real), (0, 0)))]
+    part_rows = tuple(int(p.shape[0]) for p in x2d_parts)
 
     # per-8-step-group theta table (N/8, C) from float64 host ramps
     # (theta at the group's first step j=8g: mod(theta0 + 8g*dth, 4pi));
@@ -402,13 +432,15 @@ def _call_v4(x2d, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
     chunk = _v4_chunk(n, c)
 
     kern = partial(_kernel_v4, chunk=chunk, kq=kq, ki=ki,
-                   delayed=delay_output)
+                   delayed=delay_output, part_rows=part_rows)
     ni, nq, s_out = pl.pallas_call(
         kern,
         grid=(n // chunk,),
         in_specs=[
-            pl.BlockSpec((c, chunk), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+            for r in part_rows
+        ] + [
             pl.BlockSpec((chunk // 8, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, c), lambda i: (0, 0),
@@ -432,7 +464,7 @@ def _call_v4(x2d, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
                         pltpu.VMEM((chunk, c), dtype),
                         pltpu.VMEM((chunk, c), dtype)],
         interpret=interpret,
-    )(x_cm, p_seq, s_in)
+    )(*x2d_parts, p_seq, s_in)
 
     nco_i = ni[:c_real].reshape(*batch_shape, n)
     nco_q = nq[:c_real].reshape(*batch_shape, n)

@@ -74,7 +74,11 @@ def pll(
     """Run the PLL over one block.
 
     Args:
-      x: (..., N) real input (band-passed pilot / squared carrier).
+      x: (..., N) real input (band-passed pilot / squared carrier); or a
+        TUPLE of equal-shape arrays, treated exactly as
+        ``jnp.stack(x, axis=0)`` — the Pallas path then reads the parts
+        directly instead of materializing the stacked copy (the receiver
+        feeds the stereo-pilot + RDS-carrier pair this way).
       state: PLLState with fields shaped (...,).
       impl: 'scan' (lax.scan, any backend/dtype), 'pallas' (TPU kernel,
         much lower loop overhead; interpret-mode elsewhere), or 'auto'
@@ -91,9 +95,10 @@ def pll(
         last NCO sample).
       new_state.
     """
+    x_dtype = x[0].dtype if isinstance(x, (tuple, list)) else x.dtype
     if impl == "auto":
         use_pallas = (jax.default_backend() == "tpu"
-                      and x.dtype == jnp.float32)
+                      and x_dtype == jnp.float32)
     else:
         use_pallas = impl == "pallas"
     if use_pallas:
@@ -103,6 +108,8 @@ def pll(
             x, state, freq=freq, fs=fs, nco_scale=nco_scale,
             phase_adjust=phase_adjust, norm_bandwidth=norm_bandwidth,
             delay_output=delay_output)
+    if isinstance(x, (tuple, list)):
+        x = jnp.stack(x, axis=0)
     dtype = x.dtype
     cp, ci = 2.666, 3.555
     # freq / norm_bandwidth / nco_scale / phase_adjust may be arrays

@@ -175,7 +175,10 @@ def make_receiver(
                 pre_pll, squared_zi = fir_block_pre(extract, squared_h,
                                                     state.rds.squared_zi,
                                                     "square")
-                pair = jnp.stack([pilot, pre_pll], axis=0)
+                # tuple input: the Pallas kernel reads pilot and pre_pll
+                # directly (ops/pll.py) — the (2, C, N) stacked pair
+                # never materializes in HBM
+                pair = (pilot, pre_pll)
                 st2 = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=0),
                                    state.audio.pll, state.rds.pll)
                 nco_i2, nco_q2, st2 = pll(

@@ -171,3 +171,37 @@ def test_pallas_mode1_length():
                                atol=5e-5)
     # scan's own sequential f32 rounding bias scales with n (~2.4e-7*n)
     _assert_state_close(our_st, ref_st, atol=4e-7 * n)
+
+
+def test_tuple_input_matches_stacked():
+    """pll(x=(a, b)) == pll(jnp.stack([a, b])): the tuple form feeds the
+    v4 kernel's in-VMEM transpose directly (no stacked HBM copy), and
+    must be exactly the stacked call on both impls."""
+    import math
+
+    n, c = 1920, 4
+    t = np.arange(n) / 240e3
+    a = np.stack([np.cos(2 * np.pi * 19e3 * t + 0.1 * k)
+                  for k in range(c)]).astype(np.float32)
+    b = np.stack([np.cos(2 * np.pi * 114e3 * t + 0.2 * k)
+                  for k in range(c)]).astype(np.float32)
+    x2 = jnp.asarray(np.stack([a, b]))
+    pair = (jnp.asarray(a), jnp.asarray(b))
+
+    freqs = np.array([19e3, 114e3]).reshape(2, 1)
+    bws = np.array([0.01, 0.001]).reshape(2, 1)
+    scales = np.array([2.0, 0.5]).reshape(2, 1)
+    adjusts = np.array([0.0, math.pi / 3.3 - math.pi / 1.5]).reshape(2, 1)
+    kw = dict(freq=freqs, fs=240e3, nco_scale=scales, phase_adjust=adjusts,
+              norm_bandwidth=bws)
+
+    for impl in ("scan", "pallas"):
+        ref_i, ref_q, ref_st = pll(x2, pll_init((2, c), jnp.float32),
+                                   impl=impl, **kw)
+        tup_i, tup_q, tup_st = pll(pair, pll_init((2, c), jnp.float32),
+                                   impl=impl, **kw)
+        np.testing.assert_array_equal(np.asarray(tup_i), np.asarray(ref_i),
+                                      err_msg=impl)
+        np.testing.assert_array_equal(np.asarray(tup_q), np.asarray(ref_q))
+        for x, y in zip(jax.tree.leaves(tup_st), jax.tree.leaves(ref_st)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
