@@ -370,12 +370,15 @@ def resample_mul2(extract, nco_i, nco_q, h, zi, up: int, down: int,
         return fir_resample(mixed, h, zi, up, down, gain=gain)
 
     b, a_w, h_w = geom
+    tile_c = tile or tile_channels(flat)
+    assert flat % tile_c == 0, (
+        f"channel tile {tile_c} must divide the flattened batch {flat}")
     h_mat = jnp.asarray(_resample_h(h_np, up, down, b, h_w, a_w, gain),
                         jnp.bfloat16)
     e2 = extract.reshape(flat, n)
     yi, yq = _pallas_resample_mix(e2, nco_i.reshape(flat, n),
                                   nco_q.reshape(flat, n), h_mat, b, a_w,
-                                  tile or tile_channels(flat), h_w)
+                                  tile_c, h_w)
     m = n * up // down
     y = jnp.stack([yi, yq], axis=-2).reshape(*batch, 2, m)
 

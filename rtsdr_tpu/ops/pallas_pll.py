@@ -311,8 +311,17 @@ def pll_pallas(
 
     if len(spans) <= _MAX_SPANS and _v4_chunk(n, c) is not None:
         # fully-fused path: NCO synthesis, delay and transposes in-kernel
-        x2d_parts = ([p.reshape(-1, n) for p in parts] if parts is not None
-                     else [x.reshape(c_real, n)])
+        if parts is not None:
+            x2d_parts = [p.reshape(-1, n) for p in parts]
+            # each part lands at its lane offset in the in-VMEM
+            # transpose; keep offsets 128-aligned (small odd batches
+            # would hit Mosaic's masked-lane slow path) — else stack
+            offs_ok = all(int(p.shape[0]) % _LANES == 0
+                          for p in x2d_parts[:-1])
+            if not offs_ok:
+                x2d_parts = [jnp.concatenate(x2d_parts, axis=0)]
+        else:
+            x2d_parts = [x.reshape(c_real, n)]
         return _call_v4(x2d_parts, state, kp_np, ki_np, spans,
                         nco_scale, phase_adjust, n, c, c_real, dtype,
                         batch_shape, interpret, delay_output, np_t,
