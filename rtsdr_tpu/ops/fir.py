@@ -338,6 +338,25 @@ def _upsampled_tail_of(x: jax.Array, n_tail: int, up: int) -> jax.Array:
     return u.reshape(*xt.shape[:-1], k * up)[..., -n_tail:]
 
 
+def _resample_boundary_index(t1: int, up: int, down: int
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Index math for the resampler's carried-state boundary matmul.
+
+    The first ceil(t1/down) outputs also read the carried upsampled-
+    domain tail: output r takes tap kz = r*down + t1 - j from zi position
+    j where valid.  Shared by the XLA path below and the fused Pallas
+    kernel (ops/pallas_fir.py::resample_mul2) so the two stay in
+    lock-step.  Returns (kz clipped to [0, t1], valid mask), both
+    (ceil(t1/down), t1) numpy arrays.
+    """
+    nb = -(-t1 // down)
+    rz = np.arange(nb)[:, None]
+    j = np.arange(t1)[None, :]
+    kz = rz * down + t1 - j
+    valid = (j >= rz * down) & (kz >= 0) & (kz <= t1)
+    return np.clip(kz, 0, t1), valid
+
+
 def _resample_polyphase_matmul(x: jax.Array, h: jax.Array, zi: jax.Array,
                                up: int, down: int) -> tuple[jax.Array, jax.Array]:
     """Rational resampler without the upsampled-domain buffer.
@@ -395,13 +414,10 @@ def _resample_polyphase_matmul(x: jax.Array, h: jax.Array, zi: jax.Array,
     ).reshape(*batch, nblk * b)[..., :m_total]
 
     # boundary: the first ceil(t1/down) outputs also read the carried zi
-    nb = -(-t1 // down)
-    rz = np.arange(nb)[:, None]
-    j = np.arange(t1)[None, :]
-    kz = rz * down + t1 - j
-    validz = (j >= rz * down) & (kz >= 0) & (kz <= t1)
+    kz, validz = _resample_boundary_index(t1, up, down)
+    nb = kz.shape[0]
     hz = jnp.where(jnp.asarray(validz),
-                   h[jnp.asarray(np.clip(kz, 0, t1))], 0.0).astype(x.dtype)
+                   h[jnp.asarray(kz)], 0.0).astype(x.dtype)
     y_zi = jax.lax.dot_general(
         zi, hz, dimension_numbers=(((zi.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=x.dtype if x.dtype == jnp.float64 else jnp.float32)

@@ -364,6 +364,13 @@ def resample_mul2(extract, nco_i, nco_q, h, zi, up: int, down: int,
     ok = (extract.dtype == jnp.float32 and geom is not None
           and tile_channels(flat) and extract.ndim >= 2
           and (jax.default_backend() == "tpu" or impl == "pallas"))
+    if impl == "pallas" and not ok:
+        # explicit request: fail loudly instead of silently demoting
+        # (same contract as timeshard's ingest_impl='fused')
+        raise ValueError(
+            f"resample_mul2 impl='pallas' ineligible: n={n} up={up} "
+            f"down={down} taps={taps} flat_batch={flat} "
+            f"dtype={extract.dtype} geom={geom}")
     if impl == "xla" or not ok:
         mixed = 2.0 * extract[..., None, :] * jnp.stack(
             [nco_i, nco_q], axis=-2)
@@ -383,25 +390,32 @@ def resample_mul2(extract, nco_i, nco_q, h, zi, up: int, down: int,
     y = jnp.stack([yi, yq], axis=-2).reshape(*batch, 2, m)
 
     # boundary: the first ceil(t1/down) outputs also read the carried zi
-    # (upsampled domain), exactly as ops.fir._resample_polyphase_matmul
-    nb = -(-t1 // down)
-    rz = np.arange(nb)[:, None]
-    jj = np.arange(t1)[None, :]
-    kz = rz * down + t1 - jj
-    validz = (jj >= rz * down) & (kz >= 0) & (kz <= t1)
+    # (upsampled domain) — shared index math with the XLA path
+    from rtsdr_tpu.ops.fir import _resample_boundary_index
+
+    kz, validz = _resample_boundary_index(t1, up, down)
     hz = jnp.asarray(
-        np.where(validz, (h_np * gain)[np.clip(kz, 0, t1)], 0.0),
-        jnp.float32)
+        np.where(validz, (h_np * gain)[kz], 0.0), jnp.float32)
     y_zi = jax.lax.dot_general(
         zi, hz, dimension_numbers=(((zi.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    y = y.at[..., :nb].add(y_zi)
+    y = y.at[..., :kz.shape[0]].add(y_zi)
+
+    new_zi = resample_mul2_tail(extract, nco_i, nco_q, t1, up)
+    return y, new_zi
+
+
+def resample_mul2_tail(extract, nco_i, nco_q, t1: int, up: int) -> jax.Array:
+    """The upsampled-domain carry ``resample_mul2`` returns as ``new_zi``:
+    the zero-stuffed tail of the mixed stream, from the last ceil(t1/up)
+    input samples only.  Exposed so the time-sharded receiver's halo (the
+    left neighbor's carry, ppermuted) is definitionally the same value."""
+    from rtsdr_tpu.ops.fir import _upsampled_tail_of
 
     kt = -(-t1 // up)
     tail = 2.0 * extract[..., None, -kt:] * jnp.stack(
         [nco_i[..., -kt:], nco_q[..., -kt:]], axis=-2)
-    new_zi = _upsampled_tail_of(tail, t1, up)
-    return y, new_zi
+    return _upsampled_tail_of(tail, t1, up)
 
 
 def fir_bank(x, h_list, stride: int = 1, x2=None, pre: str = "none",

@@ -279,6 +279,11 @@ def pll_pallas(
     parts = list(x) if isinstance(x, (tuple, list)) else None
     if parts is not None:
         x0 = parts[0]
+        if any(p.shape != x0.shape or p.dtype != x0.dtype
+               for p in parts[1:]):
+            raise ValueError(
+                "pll tuple input requires equal shapes/dtypes, got "
+                f"{[(p.shape, p.dtype) for p in parts]}")
         dtype = x0.dtype
         batch_shape = (len(parts),) + x0.shape[:-1]
         n = x0.shape[-1]

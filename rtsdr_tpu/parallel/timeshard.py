@@ -21,7 +21,13 @@ block is additionally split into T chunks across the mesh's ``t`` axis:
 
 Outputs and updated state are bit-identical to the serial receiver
 (`tests/test_timeshard.py` asserts equality), so time sharding is purely a
-deployment choice.
+deployment choice.  One scoping note for TPU: stages whose fast-kernel
+eligibility depends on the *per-shard* shape (the RDS mixer+resampler,
+``ops/pallas_fir.py::resample_mul2``) can pick a different dot grouping
+than the serial receiver's full-block call, which differs at bf16
+operand scale (~1e-3 relative) at those stage outputs — the raw-halo
+ingest stays bitwise because its s8 accumulation is integer-exact.
+Force ``resamp_impl='xla'`` on both receivers for strict cross-checks.
 """
 
 from __future__ import annotations
@@ -74,6 +80,7 @@ def make_time_sharded_receiver(
     pll_impl: str = "auto",
     deemphasis: float | None = None,
     ingest_impl: str = "auto",
+    resamp_impl: str = "auto",
 ):
     """Build ``(init_fn, step_fn)`` sharded over (channel, time).
 
@@ -98,7 +105,8 @@ def make_time_sharded_receiver(
     serial_init, serial_step = make_receiver(
         cfg, (n_channels,), dtype, enable_rds=enable_rds,
         enable_frame=enable_frame, offset_mode=offset_mode,
-        use_abs_clock=use_abs_clock, deemphasis=deemphasis)
+        use_abs_clock=use_abs_clock, deemphasis=deemphasis,
+        resamp_impl=resamp_impl)
 
     # coefficients (host constants, closed over)
     if ingest_impl == "auto":
@@ -293,21 +301,22 @@ def make_time_sharded_receiver(
                 norm_bandwidth=rp.norm_bandwidth, impl=pll_impl)
             # mixer fused into the polyphase resampler (same fast kernel
             # as the serial receiver, pipeline/rds.py); the halo is the
-            # left neighbor's mixed-stream upsampled tail, computed from
-            # the last ceil(t1/up) samples only — the (..., 2, N) mixed
-            # chunk never materializes on the fused path
-            from rtsdr_tpu.ops.pallas_fir import resample_mul2
+            # left neighbor's carry, computed by the op's own tail helper
+            # so it is definitionally the value resample_mul2 returns as
+            # new_zi — the (..., 2, N) mixed chunk never materializes on
+            # the fused path
+            from rtsdr_tpu.ops.pallas_fir import (
+                resample_mul2,
+                resample_mul2_tail,
+            )
 
-            kt = -(-(comb_taps - 1) // cfg.rds.up)
-            local_tail = 2.0 * extract[..., None, -kt:] * jnp.stack(
-                [nco_i[..., -kt:], nco_q[..., -kt:]], axis=-2)
-            mix_u_tail = _upsampled_tail(local_tail, comb_taps - 1,
-                                         cfg.rds.up)
+            mix_u_tail = resample_mul2_tail(extract, nco_i, nco_q,
+                                            comb_taps - 1, cfg.rds.up)
             resamp_zi_eff = first_or(state.rds.resamp_zi,
                                      send_right(mix_u_tail))
             resamp, resamp_zi_loc = resample_mul2(
                 extract, nco_i, nco_q, comb_h, resamp_zi_eff,
-                cfg.rds.up, cfg.rds.down)
+                cfg.rds.up, cfg.rds.down, impl=resamp_impl)
             resamp_zi = from_last(resamp_zi_loc)
             rrc, rrc_zi = halo_fir(fir_block, resamp, rrc_h,
                                    state.rds.rrc_zi)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from rtsdr_tpu.config import ReceiverConfig
 from rtsdr_tpu.ops import coeffs
-from rtsdr_tpu.ops.fir import fir_block, fir_resample, fir_zi, resample_zi
+from rtsdr_tpu.ops.fir import fir_block, fir_zi, resample_zi
 from rtsdr_tpu.ops.pll import PLLState, pll, pll_init
 
 

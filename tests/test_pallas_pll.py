@@ -205,3 +205,39 @@ def test_tuple_input_matches_stacked():
         np.testing.assert_array_equal(np.asarray(tup_q), np.asarray(ref_q))
         for x, y in zip(jax.tree.leaves(tup_st), jax.tree.leaves(ref_st)):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_tuple_multiref_kernel_path():
+    """128-row parts keep their lane offsets 128-aligned, so the v4
+    kernel's per-part block specs + in-VMEM lane-offset transpose run
+    (the production receiver's two 512-row refs take this path); must
+    equal the stacked call exactly."""
+    import math
+
+    n, c = 1920, 128  # c % 128 == 0 -> multi-ref path (no concat)
+    t = np.arange(n) / 240e3
+    a = np.stack([np.cos(2 * np.pi * 19e3 * t + 0.01 * k)
+                  for k in range(c)]).astype(np.float32)
+    b = np.stack([np.cos(2 * np.pi * 114e3 * t + 0.02 * k)
+                  for k in range(c)]).astype(np.float32)
+    kw = dict(freq=np.array([19e3, 114e3]).reshape(2, 1), fs=240e3,
+              nco_scale=np.array([2.0, 0.5]).reshape(2, 1),
+              phase_adjust=np.array(
+                  [0.0, math.pi / 3.3 - math.pi / 1.5]).reshape(2, 1),
+              norm_bandwidth=np.array([0.01, 0.001]).reshape(2, 1))
+    ref = pll_pallas(jnp.asarray(np.stack([a, b])),
+                     pll_init((2, c), jnp.float32), **kw)
+    tup = pll_pallas((jnp.asarray(a), jnp.asarray(b)),
+                     pll_init((2, c), jnp.float32), **kw)
+    np.testing.assert_array_equal(np.asarray(tup[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(tup[1]), np.asarray(ref[1]))
+    for x, y in zip(jax.tree.leaves(tup[2]), jax.tree.leaves(ref[2])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_tuple_shape_mismatch_raises():
+    a = jnp.zeros((4, 1920), jnp.float32)
+    b = jnp.zeros((8, 1920), jnp.float32)
+    with pytest.raises(ValueError, match="equal shapes"):
+        pll_pallas((a, b), pll_init((2, 4), jnp.float32),
+                   freq=19e3, fs=240e3)
