@@ -163,3 +163,31 @@ class TestResampleMul2:
         from rtsdr_tpu.ops.pallas_fir import _resample_geom
 
         assert _resample_geom(16000, 57, 250, 8700) is None
+
+    @pytest.mark.parametrize("up,down,n,taps", [
+        (3, 4, 1024, 31),     # fractional up
+        (5, 2, 512, 41),      # net upsampling
+        (19, 80, 3840, 301),  # RDS-like, shorter filter
+    ])
+    def test_geometry_sweep(self, rng, up, down, n, taps):
+        """Kernel == fallback across unrelated rational geometries."""
+        from rtsdr_tpu.ops.fir import fir_resample
+        from rtsdr_tpu.ops.pallas_fir import resample_mul2
+
+        h = np.asarray(coeffs.lowpass_taps(240e3, 16e3, taps), np.float64)
+        c = 32
+        t1 = taps - 1
+        e = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        ni = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        nq = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        zi = jnp.asarray(
+            rng.standard_normal((c, 2, t1)).astype(np.float32) * 0.3)
+        y, new_zi = resample_mul2(e, ni, nq, h, zi, up, down,
+                                  impl="pallas")
+        mixed = 2.0 * e[..., None, :] * jnp.stack([ni, nq], axis=-2)
+        ref, ref_zi = fir_resample(mixed, h, zi, up, down)
+        assert y.shape == (c, 2, n * up // down)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=0, atol=_bf16_tol(ref))
+        np.testing.assert_array_equal(np.asarray(new_zi),
+                                      np.asarray(ref_zi))
