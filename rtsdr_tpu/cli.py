@@ -165,6 +165,8 @@ def _print_rds_summary(decoder, prefix: str = "") -> None:
     print(f"{prefix}RDS: PI=0x{decoder.pi:04X} PTY={pty} "
           f"PS='{decoder.ps_name}' RT='{decoder.radiotext_str}'",
           file=sys.stderr)
+    if decoder.ptyn_str:
+        print(f"{prefix}RDS: PTYN='{decoder.ptyn_str}'", file=sys.stderr)
     if decoder.af_mhz:
         afs = " ".join(f"{f:.1f}" for f in sorted(decoder.af_mhz))
         print(f"{prefix}RDS: AF [MHz]: {afs}", file=sys.stderr)

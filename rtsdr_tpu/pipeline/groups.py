@@ -14,6 +14,7 @@ Group layout (RDS standard, IEC 62106):
   2B:      same, block D only (2 chars)
   0A:      block C = two alternative-frequency (AF) codes
   4A:      clock time/date: 17-bit MJD + hour/minute + local offset
+  10A:     Program Type Name segment in B[0]; blocks C+D = 4 PTYN chars
 """
 
 from __future__ import annotations
@@ -93,6 +94,7 @@ class GroupDecoder:
     pty: int | None = None
     ps: list = field(default_factory=lambda: [" "] * 8)
     radiotext: list = field(default_factory=lambda: [" "] * 64)
+    ptyn: list = field(default_factory=lambda: [" "] * 8)  # 10A
     af_mhz: set = field(default_factory=set)      # from 0A block C (VHF)
     af_lfmf_khz: set = field(default_factory=set)  # LF/MF AFs (after 250)
     af_declared: int | None = None                # "N AFs follow" marker
@@ -189,6 +191,11 @@ class GroupDecoder:
             seg = ib & 0xF
             self.radiotext[2 * seg] = chr((id_ >> 8) & 0xFF)
             self.radiotext[2 * seg + 1] = chr(id_ & 0xFF)
+        elif g.group_type == 10 and g.version == 0:
+            seg = ib & 0x1   # PTYN: 2 segments of 4 chars (C+D)
+            for k, ch in enumerate(((ic >> 8) & 0xFF, ic & 0xFF,
+                                    (id_ >> 8) & 0xFF, id_ & 0xFF)):
+                self.ptyn[4 * seg + k] = chr(ch)
         return g
 
     @property
@@ -198,6 +205,10 @@ class GroupDecoder:
     @property
     def radiotext_str(self) -> str:
         return "".join(self.radiotext).rstrip()
+
+    @property
+    def ptyn_str(self) -> str:
+        return "".join(self.ptyn).strip()
 
 
 def format_group(g: Group) -> str:

@@ -59,17 +59,26 @@ def _ct_words(pty):
 
 
 def _make_station_groups(n_groups, pi=0x3A5C, pty=5, ps="TPU RDIO",
-                         radiotext="MXU RDIO"):
+                         radiotext="MXU RDIO", ptyn="ROCKHITS"):
     """3 of 4 groups are 0A (PS segments cycling), every 4th is 2A
     (RadioText, 2 segments) — PS converges fast at the ~0.73 groups/block
-    rate of the 2375 bit/s stream.  Every 16th group is 4A clock time."""
+    rate of the 2375 bit/s stream.  Every 16th group is 4A clock time;
+    groups 6 and 9 of every 16 are 10A Program Type Name segments."""
     words = []
     ps = (ps + " " * 8)[:8]
     rt = (radiotext + " " * 8)[:8]
-    ps_i = rt_i = 0
+    pn = (ptyn + " " * 8)[:8]
+    ps_i = rt_i = pn_i = 0
     for g in range(n_groups):
         if g % 16 == 5:
             b, c, d = _ct_words(pty)
+        elif g % 16 in (6, 9):  # both PTYN segments air within the
+            #                         ~10 groups a 14-block stream carries
+            seg = pn_i % 2
+            pn_i += 1
+            b = (10 << 12) | (0 << 11) | (1 << 10) | (pty << 5) | seg
+            c = (ord(pn[4 * seg]) << 8) | ord(pn[4 * seg + 1])
+            d = (ord(pn[4 * seg + 2]) << 8) | ord(pn[4 * seg + 3])
         elif g % 4 == 3:
             seg = rt_i % 2
             rt_i += 1
@@ -115,7 +124,7 @@ def test_groups_decode_pi_pty(decoded_station):
     for g in dec.groups:
         assert g.pi == 0x3A5C
         assert g.tp == 1
-        assert g.name in ("0A", "2A", "4A")
+        assert g.name in ("0A", "2A", "4A", "10A")
     line = format_group(dec.groups[0])
     assert "PI=0x3A5C" in line and "PTY=Rock" in line
 
@@ -124,6 +133,11 @@ def test_groups_decode_ps_and_radiotext(decoded_station):
     dec = decoded_station
     assert dec.ps_name == "TPU RDIO"
     assert dec.radiotext_str == "MXU RDIO"
+
+
+def test_groups_decode_ptyn(decoded_station):
+    """10A Program Type Name assembles from its 2x4-char segments."""
+    assert decoded_station.ptyn_str == "ROCKHITS"
 
 
 def test_groups_decode_af_and_clock(decoded_station):
