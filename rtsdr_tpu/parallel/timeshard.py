@@ -81,15 +81,33 @@ def make_time_sharded_receiver(
     deemphasis: float | None = None,
     ingest_impl: str = "auto",
     resamp_impl: str = "auto",
+    pll_handoff: str = "exact",
 ):
     """Build ``(init_fn, step_fn)`` sharded over (channel, time).
 
     raw input: (n_channels, block_size) uint8, sharded P(ch, t).
     State replicated over t, sharded over ch.  Outputs: audio P(ch, t);
     frame outputs replicated over t.
+
+    ``pll_handoff``:
+      * ``'exact'`` (default): the PLL state pipelines shard-to-shard
+        within the step (``pll_chain``) — bit-identical to the serial
+        receiver, but the scan wall-time does not shrink with T (the
+        Amdahl term quantified in SCALING_r02.json ``ici_comm_model``).
+      * ``'stale'``: every shard scans its chunk concurrently, seeded from
+        the state its left neighbor produced one block earlier,
+        extrapolated across that block at the locked slope
+        (``ops/pll.py::pll_extrapolate``).  PLL wall-time drops to 1/T —
+        near-linear latency scaling — at the cost of a lock-transient
+        approximation instead of bit-exactness (in lock the seed error is
+        O(integrator drift over one block); the loop re-converges within
+        ~1/bandwidth samples after any step change).  State becomes the
+        tuple ``(ReceiverState, handoffs)``.
     """
     if enable_rds is None:
         enable_rds = cfg.rds is not None
+    assert pll_handoff in ("exact", "stale")
+    stale = pll_handoff == "stale"
 
     T = mesh.shape[TIME_AXIS]
     n_ch_shards = mesh.shape[CHANNEL_AXIS]
@@ -152,7 +170,11 @@ def make_time_sharded_receiver(
                                            use_abs_clock=use_abs_clock,
                                            resync=resync))
 
-    def shard_body(state: ReceiverState, raw_u8: jax.Array):
+    def shard_body(state_in, raw_u8: jax.Array):
+        if stale:
+            state, handoffs = state_in
+        else:
+            state, handoffs = state_in, {"audio": None, "rds": None}
         t_id = lax.axis_index(TIME_AXIS)
         perm_right = [(i, i + 1) for i in range(T - 1)]
 
@@ -178,7 +200,26 @@ def make_time_sharded_receiver(
             y, zi_out = op(x, h, zi_eff, *args, **kw)
             return y, from_last(zi_out)
 
-        def pll_chain(x, pll_state, **params):
+        def pll_chain(x, pll_state, handoff=None, **params):
+            if handoff is not None:
+                # stale handoff: seed from the left neighbor's end state of
+                # ONE BLOCK AGO (shard k-1's chunk in the previous step ends
+                # exactly if_len PLL samples before shard k's chunk starts),
+                # extrapolated at the locked slope; shard 0's gap is zero so
+                # it uses the exact global carry.  All shards scan at once.
+                from rtsdr_tpu.ops.pll import pll_extrapolate
+
+                h = jax.tree.map(lambda v: v[..., 0], handoff)
+                seed = pll_extrapolate(
+                    h, cfg.if_len, freq=params["freq"], fs=params["fs"],
+                    nco_scale=params["nco_scale"],
+                    phase_adjust=params["phase_adjust"])
+                start = jax.tree.map(
+                    lambda e, s: jnp.where(t_id == 0, e, s), pll_state, seed)
+                nco_i, nco_q, end = pll(x, start, **params)
+                final = jax.tree.map(from_last, end)
+                new_h = jax.tree.map(lambda v: send_right(v)[..., None], end)
+                return nco_i, nco_q, final, new_h
             nco_i = jnp.zeros_like(x)
             nco_q = jnp.zeros_like(x)
             st = pll_state
@@ -198,7 +239,7 @@ def make_time_sharded_receiver(
                 if k + 1 < T:
                     st = jax.tree.map(send_right, st_k)
             final = jax.tree.map(from_last, st_out)
-            return nco_i, nco_q, final
+            return nco_i, nco_q, final, None
 
         # ---- ingest + front end ----
         # same impl auto-select as the serial frontend: the fused
@@ -254,8 +295,9 @@ def make_time_sharded_receiver(
         pilot, pilot_zi = halo_fir(fir_block, fm, pilot_h,
                                    state.audio.pilot_zi)
         pcfg = cfg.stereo.pll
-        nco, _, pll_st = pll_chain(
-            pilot, state.audio.pll, freq=pcfg.freq, fs=cfg.rf.if_fs,
+        nco, _, pll_st, audio_hoff = pll_chain(
+            pilot, state.audio.pll, handoffs["audio"],
+            freq=pcfg.freq, fs=cfg.rf.if_fs,
             nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
             norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl)
         chan, chan_zi = halo_fir(fir_block, fm, chan_h, state.audio.chan_zi)
@@ -288,6 +330,7 @@ def make_time_sharded_receiver(
         rds_state = None
         frame_state = None
         rds_out = None
+        rds_hoff = None
         if enable_rds:
             extract, extract_zi = halo_fir(fir_block, fm, extract_h,
                                            state.rds.extract_zi)
@@ -295,8 +338,9 @@ def make_time_sharded_receiver(
             pre_pll, squared_zi = halo_fir(fir_block, sq, squared_h,
                                            state.rds.squared_zi)
             rp = cfg.rds.pll
-            nco_i, nco_q, rds_pll = pll_chain(
-                pre_pll, state.rds.pll, freq=rp.freq, fs=cfg.rf.if_fs,
+            nco_i, nco_q, rds_pll, rds_hoff = pll_chain(
+                pre_pll, state.rds.pll, handoffs["rds"],
+                freq=rp.freq, fs=cfg.rf.if_fs,
                 nco_scale=rp.nco_scale, phase_adjust=rp.phase_adjust,
                 norm_bandwidth=rp.norm_bandwidth, impl=pll_impl)
             # mixer fused into the polyphase resampler (same fast kernel
@@ -337,6 +381,8 @@ def make_time_sharded_receiver(
                                   rds=rds_state, frame=frame_state)
         outputs = ReceiverOutputs(left=left, right=right, mono=mono,
                                   rds=rds_out)
+        if stale:
+            return (new_state, {"audio": audio_hoff, "rds": rds_hoff}), outputs
         return new_state, outputs
 
     # ---- shardings ----
@@ -347,6 +393,29 @@ def make_time_sharded_receiver(
     state_specs = jax.tree.map(ch_spec, state_proto)
     raw_spec = P(CHANNEL_AXIS, TIME_AXIS)
     audio_spec = P(CHANNEL_AXIS, TIME_AXIS)
+
+    def init_handoffs():
+        """Per-shard stale seeds, leaves (n_channels, T): the serial init
+        state broadcast (pre-lock, so early blocks are warmup — same as
+        the serial receiver's own acquisition)."""
+        from rtsdr_tpu.ops.pll import pll_init
+
+        def per_shard(s):
+            return jax.tree.map(
+                lambda v: jnp.broadcast_to(v[..., None],
+                                           v.shape + (T,)), s)
+        return {
+            "audio": per_shard(pll_init((n_channels,), dtype)),
+            "rds": per_shard(pll_init((n_channels,), dtype))
+            if enable_rds else None,
+        }
+
+    if stale:
+        handoff_specs = jax.tree.map(lambda _: P(CHANNEL_AXIS, TIME_AXIS),
+                                     jax.eval_shape(init_handoffs))
+        state_in_specs = (state_specs, handoff_specs)
+    else:
+        state_in_specs = state_specs
 
     # Output pytree structure (and leaf ndims) match the serial step; shapes
     # inside shards differ but only specs matter here.
@@ -360,13 +429,13 @@ def make_time_sharded_receiver(
     else:
         rds_sp = None
     out_specs = (
-        state_specs,
+        state_in_specs,
         ReceiverOutputs(left=audio_spec, right=audio_spec, mono=audio_spec,
                         rds=rds_sp),
     )
 
     sharded = jax.shard_map(shard_body, mesh=mesh,
-                            in_specs=(state_specs, raw_spec),
+                            in_specs=(state_in_specs, raw_spec),
                             out_specs=out_specs, check_vma=False)
     step_jit = jax.jit(sharded, donate_argnums=0)
 
@@ -377,7 +446,15 @@ def make_time_sharded_receiver(
                 return None
             return jax.device_put(
                 jnp.array(x, copy=True), NamedSharding(mesh, ch_spec(x)))
-        return jax.tree.map(place, state)
+        state = jax.tree.map(place, state)
+        if not stale:
+            return state
+        hoff = jax.tree.map(
+            lambda x: jax.device_put(
+                jnp.array(x, copy=True),
+                NamedSharding(mesh, P(CHANNEL_AXIS, TIME_AXIS))),
+            init_handoffs())
+        return (state, hoff)
 
     def step_fn(state, raw_u8):
         raw_u8 = jax.device_put(raw_u8, NamedSharding(mesh, raw_spec))

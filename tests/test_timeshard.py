@@ -156,3 +156,48 @@ def test_fused_ingest_halo_consistency(station_u8):
             np.asarray(outs[1][0][b].rds.syndrome_id))
     for a, bb in zip(outs[4][1], outs[1][1]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
+def test_stale_pll_handoff_converges_to_serial():
+    """pll_handoff='stale' trades bit-exactness for T-linear PLL latency
+    (ops/pll.py::pll_extrapolate).  After lock, the one-block-stale seed
+    must agree with the serial receiver: audio within tight SNR, RDS
+    still frame-syncing."""
+    from oracles import encode_rds_blocks, rds_baseband
+
+    n_blocks = 5
+    rng = np.random.default_rng(11)
+    bits = encode_rds_blocks(rng.integers(0, 2, size=(40 * n_blocks, 16)))
+    raw = synth_multiplex_iq(n_blocks * MODE0.block_size // 2,
+                             rds_wave=rds_baseband(bits), rng=rng)
+
+    _, ser_outs = _run_serial(MODE0, raw, 1, n_blocks)
+
+    mesh = make_mesh(1, 4)
+    init_fn, step_fn = make_time_sharded_receiver(
+        MODE0, mesh, 1, jnp.float32, pll_handoff="stale")
+    state = init_fn()
+    bs = MODE0.block_size
+    outs = []
+    for b in range(n_blocks):
+        blk = jnp.asarray(raw[b * bs:(b + 1) * bs][None])
+        state, out = step_fn(state, blk)
+        outs.append(out)
+
+    # warmup: the stale seeds start pre-lock; compare the last 2 blocks.
+    # The steady floor is ~35 dB (the loop's phase random-walk over the
+    # one-block staleness re-converges at each chunk start) — within FM
+    # broadcast stereo-separation tolerances; 30 dB is the quality bar.
+    for b in range(n_blocks - 2, n_blocks):
+        ref = np.asarray(ser_outs[b].left[0])
+        got = np.asarray(outs[b].left[0])
+        err = np.sqrt(np.mean((got - ref) ** 2))
+        sig = np.sqrt(np.mean(ref ** 2))
+        snr_db = 20 * np.log10(sig / max(err, 1e-30))
+        assert snr_db > 30, f"block {b}: stale audio SNR {snr_db:.1f} dB"
+
+    # RDS chain still locks: syncs fire in the final blocks
+    n_sync = sum(int(np.asarray(outs[b].rds.is_sync)
+                     [0, : int(outs[b].rds.n_windows[0])].sum())
+                 for b in range(n_blocks - 2, n_blocks))
+    assert n_sync > 0, "no RDS frame syncs under stale PLL handoff"
