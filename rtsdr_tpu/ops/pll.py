@@ -171,6 +171,45 @@ def pll(
     return nco_i, nco_q, new_state
 
 
+def pll_extrapolate_by(
+    state: PLLState,
+    theta_advance,
+    n_steps,
+    *,
+    nco_scale: float = 1.0,
+    phase_adjust: float = 0.0,
+) -> PLLState:
+    """Advance a PLL state with no input, assuming lock, by a precomputed
+    ramp advance.
+
+    In lock the detector error is ~0, so per step the loop advances
+    ``theta`` by the NCO ramp ``2*pi*freq/fs`` and ``phase_est`` by the
+    integrator (the steady-state slope of ``phase = phase + kp*e + integ``
+    with e ~ 0; see the scan body above).  The feedback and NCO samples are
+    recomputed from the extrapolated angles exactly as the loop would.
+
+    ``theta_advance`` is ``(n_steps * dtheta) mod 4*pi`` — compute it
+    host-side in float64 so extrapolation adds no trig-argument drift.
+    Both ``theta_advance`` and ``n_steps`` may be arrays broadcastable to
+    the state's batch shape (time-sharded receivers extrapolate each shard
+    by its own offset in one call).
+    """
+    dtype = state.phase_est.dtype
+    four_pi = jnp.asarray(_FOUR_PI, dtype)
+    theta = jnp.mod(state.theta + jnp.asarray(theta_advance, dtype), four_pi)
+    phase = jnp.mod(state.phase_est
+                    + jnp.asarray(n_steps, dtype) * state.integrator,
+                    four_pi)
+    arg = theta + phase
+    scale = jnp.asarray(nco_scale, jnp.float64).astype(dtype)
+    adjust = jnp.asarray(phase_adjust, jnp.float64).astype(dtype)
+    nco_arg = arg * scale + adjust
+    return PLLState(integrator=state.integrator, phase_est=phase,
+                    fb_i=jnp.cos(arg), fb_q=jnp.sin(arg),
+                    nco_i=jnp.cos(nco_arg), nco_q=jnp.sin(nco_arg),
+                    theta=theta)
+
+
 def pll_extrapolate(
     state: PLLState,
     n_steps: int,
@@ -182,36 +221,18 @@ def pll_extrapolate(
 ) -> PLLState:
     """Advance a PLL state ``n_steps`` samples with no input, assuming lock.
 
-    In lock the detector error is ~0, so per step the loop advances
-    ``theta`` by the NCO ramp ``2*pi*freq/fs`` and ``phase_est`` by the
-    integrator (the steady-state slope of ``phase = phase + kp*e + integ``
-    with e ~ 0; see the scan body above).  The feedback and NCO samples are
-    recomputed from the extrapolated angles exactly as the loop would.
-
     This is the stale-handoff primitive for time-sharded latency scaling
-    (parallel/timeshard.py ``pll_handoff='stale'``): shard k seeds its
-    chunk from the state shard k-1 produced one whole block earlier,
-    extrapolated across that block — removing the sequential shard-to-
-    shard pipeline (the Amdahl term in SCALING_r02.json's ici_comm_model)
-    at the cost of a lock-transient approximation instead of bit-exact
-    parity.  The ramp advance ``n_steps * dtheta mod 4*pi`` is computed in
-    float64 host-side, so extrapolation adds no trig-argument drift.
+    (parallel/timeshard.py ``pll_handoff='stale'|'iterate'``): each time
+    shard seeds its chunk from the exact end-of-previous-block carry,
+    extrapolated across its own start offset — removing the sequential
+    shard-to-shard pipeline (the Amdahl term in SCALING_r02.json's
+    ici_comm_model) at the cost of a lock-transient approximation instead
+    of bit-exact parity.  See ``pll_extrapolate_by`` for the math.
     """
     import numpy as np
 
-    dtype = state.phase_est.dtype
     dth = np.mod(2.0 * np.pi * np.float64(freq) / np.float64(fs)
                  * np.float64(n_steps), 2.0 * _FOUR_PI) % _FOUR_PI
-    four_pi = jnp.asarray(_FOUR_PI, dtype)
-    theta = jnp.mod(state.theta + jnp.asarray(dth, dtype), four_pi)
-    phase = jnp.mod(state.phase_est
-                    + jnp.asarray(float(n_steps), dtype) * state.integrator,
-                    four_pi)
-    arg = theta + phase
-    scale = jnp.asarray(np.float64(nco_scale)).astype(dtype)
-    adjust = jnp.asarray(np.float64(phase_adjust)).astype(dtype)
-    nco_arg = arg * scale + adjust
-    return PLLState(integrator=state.integrator, phase_est=phase,
-                    fb_i=jnp.cos(arg), fb_q=jnp.sin(arg),
-                    nco_i=jnp.cos(nco_arg), nco_q=jnp.sin(nco_arg),
-                    theta=theta)
+    return pll_extrapolate_by(state, dth, float(n_steps),
+                              nco_scale=nco_scale,
+                              phase_adjust=phase_adjust)

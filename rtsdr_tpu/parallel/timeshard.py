@@ -32,8 +32,11 @@ Force ``resamp_impl='xla'`` on both receivers for strict cross-checks.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -43,7 +46,7 @@ from rtsdr_tpu.ops.demod import fm_discriminator
 from rtsdr_tpu.ops.fir import fir_decimate, fir_resample, fir_block
 from rtsdr_tpu.ops.iir import deemphasize
 from rtsdr_tpu.ops.ingestfir import ingest_fir_decimate
-from rtsdr_tpu.ops.pll import pll
+from rtsdr_tpu.ops.pll import pll, pll_extrapolate_by
 from rtsdr_tpu.parallel.mesh import CHANNEL_AXIS, TIME_AXIS
 from rtsdr_tpu.pipeline.audio import AudioState
 from rtsdr_tpu.pipeline.frame import make_frame
@@ -95,19 +98,26 @@ def make_time_sharded_receiver(
         receiver, but the scan wall-time does not shrink with T (the
         Amdahl term quantified in SCALING_r02.json ``ici_comm_model``).
       * ``'stale'``: every shard scans its chunk concurrently, seeded from
-        the state its left neighbor produced one block earlier,
-        extrapolated across that block at the locked slope
-        (``ops/pll.py::pll_extrapolate``).  PLL wall-time drops to 1/T —
-        near-linear latency scaling — at the cost of a lock-transient
-        approximation instead of bit-exactness (in lock the seed error is
-        O(integrator drift over one block); the loop re-converges within
-        ~1/bandwidth samples after any step change).  State becomes the
-        tuple ``(ReceiverState, handoffs)``.
+        the exact end-of-previous-block carry (replicated on every shard)
+        extrapolated at the locked slope across the shard's own start
+        offset ``k*chunk`` (``ops/pll.py::pll_extrapolate_by``) — max
+        staleness (T-1)/T of a block, shard 0 exact.  PLL wall-time drops
+        to 1/T — near-linear latency scaling — at the cost of a
+        lock-transient approximation instead of bit-exactness (in lock the
+        seed error is the loop's phase random-walk over the staleness gap;
+        the loop re-converges within ~1/bandwidth samples of each chunk
+        start).
+      * ``'iterate'``: one refinement pass on top of ``'stale'``: after
+        the concurrent pass, shard k re-scans seeded from shard k-1's
+        *same-block* pass-1 end state (one ``ppermute``), which has
+        already re-converged to the sequential trajectory by its chunk
+        end.  Near-serial quality at 2/T the serial PLL wall-time.
     """
     if enable_rds is None:
         enable_rds = cfg.rds is not None
-    assert pll_handoff in ("exact", "stale")
-    stale = pll_handoff == "stale"
+    assert pll_handoff in ("exact", "stale", "iterate")
+    concurrent_pll = pll_handoff != "exact"
+    pll_passes = {"exact": 0, "stale": 1, "iterate": 2}[pll_handoff]
 
     T = mesh.shape[TIME_AXIS]
     n_ch_shards = mesh.shape[CHANNEL_AXIS]
@@ -170,11 +180,7 @@ def make_time_sharded_receiver(
                                            use_abs_clock=use_abs_clock,
                                            resync=resync))
 
-    def shard_body(state_in, raw_u8: jax.Array):
-        if stale:
-            state, handoffs = state_in
-        else:
-            state, handoffs = state_in, {"audio": None, "rds": None}
+    def shard_body(state, raw_u8: jax.Array):
         t_id = lax.axis_index(TIME_AXIS)
         perm_right = [(i, i + 1) for i in range(T - 1)]
 
@@ -200,26 +206,38 @@ def make_time_sharded_receiver(
             y, zi_out = op(x, h, zi_eff, *args, **kw)
             return y, from_last(zi_out)
 
-        def pll_chain(x, pll_state, handoff=None, **params):
-            if handoff is not None:
-                # stale handoff: seed from the left neighbor's end state of
-                # ONE BLOCK AGO (shard k-1's chunk in the previous step ends
-                # exactly if_len PLL samples before shard k's chunk starts),
-                # extrapolated at the locked slope; shard 0's gap is zero so
-                # it uses the exact global carry.  All shards scan at once.
-                from rtsdr_tpu.ops.pll import pll_extrapolate
-
-                h = jax.tree.map(lambda v: v[..., 0], handoff)
-                seed = pll_extrapolate(
-                    h, cfg.if_len, freq=params["freq"], fs=params["fs"],
+        def pll_chain(x, pll_state, **params):
+            if concurrent_pll:
+                # Fresh-carry seeding: shard k's chunk starts k*chunk PLL
+                # samples after the exact end-of-previous-block carry
+                # (replicated on every shard), so extrapolate the carry by
+                # each shard's own offset at the locked slope — staleness
+                # is k*chunk <= (T-1)/T of a block (vs a full block for a
+                # neighbor-previous-block handoff) and shard 0 is exact,
+                # with no cross-step handoff state at all.  The ramp
+                # advances are float64 host tables indexed by t_id.
+                n_c = x.shape[-1]
+                dth64 = (2.0 * math.pi * np.float64(params["freq"])
+                         / np.float64(params["fs"]))
+                adv_tab = np.mod(dth64 * np.arange(T) * n_c, 4.0 * math.pi)
+                ns_tab = np.arange(T, dtype=np.float64) * n_c
+                seed = pll_extrapolate_by(
+                    pll_state,
+                    jnp.asarray(adv_tab, dtype)[t_id],
+                    jnp.asarray(ns_tab, dtype)[t_id],
                     nco_scale=params["nco_scale"],
                     phase_adjust=params["phase_adjust"])
-                start = jax.tree.map(
-                    lambda e, s: jnp.where(t_id == 0, e, s), pll_state, seed)
-                nco_i, nco_q, end = pll(x, start, **params)
+                start = jax.tree.map(first_or, pll_state, seed)
+                for p in range(pll_passes):
+                    nco_i, nco_q, end = pll(x, start, **params)
+                    if p + 1 < pll_passes:
+                        # refinement: re-seed shard k from shard k-1's
+                        # SAME-BLOCK end state (already re-converged to
+                        # the sequential trajectory by its chunk end)
+                        recv = jax.tree.map(send_right, end)
+                        start = jax.tree.map(first_or, pll_state, recv)
                 final = jax.tree.map(from_last, end)
-                new_h = jax.tree.map(lambda v: send_right(v)[..., None], end)
-                return nco_i, nco_q, final, new_h
+                return nco_i, nco_q, final
             nco_i = jnp.zeros_like(x)
             nco_q = jnp.zeros_like(x)
             st = pll_state
@@ -239,7 +257,7 @@ def make_time_sharded_receiver(
                 if k + 1 < T:
                     st = jax.tree.map(send_right, st_k)
             final = jax.tree.map(from_last, st_out)
-            return nco_i, nco_q, final, None
+            return nco_i, nco_q, final
 
         # ---- ingest + front end ----
         # same impl auto-select as the serial frontend: the fused
@@ -295,8 +313,8 @@ def make_time_sharded_receiver(
         pilot, pilot_zi = halo_fir(fir_block, fm, pilot_h,
                                    state.audio.pilot_zi)
         pcfg = cfg.stereo.pll
-        nco, _, pll_st, audio_hoff = pll_chain(
-            pilot, state.audio.pll, handoffs["audio"],
+        nco, _, pll_st = pll_chain(
+            pilot, state.audio.pll,
             freq=pcfg.freq, fs=cfg.rf.if_fs,
             nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
             norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl)
@@ -330,7 +348,6 @@ def make_time_sharded_receiver(
         rds_state = None
         frame_state = None
         rds_out = None
-        rds_hoff = None
         if enable_rds:
             extract, extract_zi = halo_fir(fir_block, fm, extract_h,
                                            state.rds.extract_zi)
@@ -338,8 +355,8 @@ def make_time_sharded_receiver(
             pre_pll, squared_zi = halo_fir(fir_block, sq, squared_h,
                                            state.rds.squared_zi)
             rp = cfg.rds.pll
-            nco_i, nco_q, rds_pll, rds_hoff = pll_chain(
-                pre_pll, state.rds.pll, handoffs["rds"],
+            nco_i, nco_q, rds_pll = pll_chain(
+                pre_pll, state.rds.pll,
                 freq=rp.freq, fs=cfg.rf.if_fs,
                 nco_scale=rp.nco_scale, phase_adjust=rp.phase_adjust,
                 norm_bandwidth=rp.norm_bandwidth, impl=pll_impl)
@@ -381,8 +398,6 @@ def make_time_sharded_receiver(
                                   rds=rds_state, frame=frame_state)
         outputs = ReceiverOutputs(left=left, right=right, mono=mono,
                                   rds=rds_out)
-        if stale:
-            return (new_state, {"audio": audio_hoff, "rds": rds_hoff}), outputs
         return new_state, outputs
 
     # ---- shardings ----
@@ -394,28 +409,7 @@ def make_time_sharded_receiver(
     raw_spec = P(CHANNEL_AXIS, TIME_AXIS)
     audio_spec = P(CHANNEL_AXIS, TIME_AXIS)
 
-    def init_handoffs():
-        """Per-shard stale seeds, leaves (n_channels, T): the serial init
-        state broadcast (pre-lock, so early blocks are warmup — same as
-        the serial receiver's own acquisition)."""
-        from rtsdr_tpu.ops.pll import pll_init
-
-        def per_shard(s):
-            return jax.tree.map(
-                lambda v: jnp.broadcast_to(v[..., None],
-                                           v.shape + (T,)), s)
-        return {
-            "audio": per_shard(pll_init((n_channels,), dtype)),
-            "rds": per_shard(pll_init((n_channels,), dtype))
-            if enable_rds else None,
-        }
-
-    if stale:
-        handoff_specs = jax.tree.map(lambda _: P(CHANNEL_AXIS, TIME_AXIS),
-                                     jax.eval_shape(init_handoffs))
-        state_in_specs = (state_specs, handoff_specs)
-    else:
-        state_in_specs = state_specs
+    state_in_specs = state_specs
 
     # Output pytree structure (and leaf ndims) match the serial step; shapes
     # inside shards differ but only specs matter here.
@@ -446,15 +440,7 @@ def make_time_sharded_receiver(
                 return None
             return jax.device_put(
                 jnp.array(x, copy=True), NamedSharding(mesh, ch_spec(x)))
-        state = jax.tree.map(place, state)
-        if not stale:
-            return state
-        hoff = jax.tree.map(
-            lambda x: jax.device_put(
-                jnp.array(x, copy=True),
-                NamedSharding(mesh, P(CHANNEL_AXIS, TIME_AXIS))),
-            init_handoffs())
-        return (state, hoff)
+        return jax.tree.map(place, state)
 
     def step_fn(state, raw_u8):
         raw_u8 = jax.device_put(raw_u8, NamedSharding(mesh, raw_spec))

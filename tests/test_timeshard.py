@@ -158,11 +158,17 @@ def test_fused_ingest_halo_consistency(station_u8):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
 
 
-def test_stale_pll_handoff_converges_to_serial():
-    """pll_handoff='stale' trades bit-exactness for T-linear PLL latency
-    (ops/pll.py::pll_extrapolate).  After lock, the one-block-stale seed
-    must agree with the serial receiver: audio within tight SNR, RDS
-    still frame-syncing."""
+@pytest.mark.parametrize("handoff,snr_floor_db", [
+    ("stale", 38.0),     # measured post-lock floor ~45 dB (blocks 1-6)
+    ("iterate", 60.0),   # measured ~132 dB — float32-exact vs serial
+])
+def test_concurrent_pll_handoff_converges_to_serial(handoff, snr_floor_db):
+    """pll_handoff='stale' trades bit-exactness for T-linear PLL latency:
+    each shard seeds from the exact previous-block carry extrapolated by
+    its own offset (ops/pll.py::pll_extrapolate_by).  'iterate' adds one
+    same-block refinement pass and is float32-indistinguishable from the
+    serial receiver after lock.  Audio must agree within the quality bar,
+    RDS must still frame-sync."""
     from oracles import encode_rds_blocks, rds_baseband
 
     n_blocks = 5
@@ -175,7 +181,7 @@ def test_stale_pll_handoff_converges_to_serial():
 
     mesh = make_mesh(1, 4)
     init_fn, step_fn = make_time_sharded_receiver(
-        MODE0, mesh, 1, jnp.float32, pll_handoff="stale")
+        MODE0, mesh, 1, jnp.float32, pll_handoff=handoff)
     state = init_fn()
     bs = MODE0.block_size
     outs = []
@@ -184,20 +190,21 @@ def test_stale_pll_handoff_converges_to_serial():
         state, out = step_fn(state, blk)
         outs.append(out)
 
-    # warmup: the stale seeds start pre-lock; compare the last 2 blocks.
-    # The steady floor is ~35 dB (the loop's phase random-walk over the
-    # one-block staleness re-converges at each chunk start) — within FM
-    # broadcast stereo-separation tolerances; 30 dB is the quality bar.
-    for b in range(n_blocks - 2, n_blocks):
+    # block 0 is acquisition (both receivers pre-lock); compare the rest.
+    # stale: the loop's phase random-walk over the <=(T-1)/T-block
+    # staleness re-converges at each chunk start; measured floor ~45 dB —
+    # well inside FM broadcast stereo-separation tolerances.
+    for b in range(1, n_blocks):
         ref = np.asarray(ser_outs[b].left[0])
         got = np.asarray(outs[b].left[0])
         err = np.sqrt(np.mean((got - ref) ** 2))
         sig = np.sqrt(np.mean(ref ** 2))
         snr_db = 20 * np.log10(sig / max(err, 1e-30))
-        assert snr_db > 30, f"block {b}: stale audio SNR {snr_db:.1f} dB"
+        assert snr_db > snr_floor_db, (
+            f"block {b}: {handoff} audio SNR {snr_db:.1f} dB")
 
     # RDS chain still locks: syncs fire in the final blocks
     n_sync = sum(int(np.asarray(outs[b].rds.is_sync)
                      [0, : int(outs[b].rds.n_windows[0])].sum())
                  for b in range(n_blocks - 2, n_blocks))
-    assert n_sync > 0, "no RDS frame syncs under stale PLL handoff"
+    assert n_sync > 0, f"no RDS frame syncs under {handoff} PLL handoff"
