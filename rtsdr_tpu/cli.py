@@ -175,6 +175,24 @@ def _print_rds_summary(decoder, prefix: str = "") -> None:
         print(f"{prefix}RDS: AF LF/MF [kHz]: {afs}", file=sys.stderr)
     if decoder.clock is not None:
         print(f"{prefix}RDS: CT {decoder.clock}", file=sys.stderr)
+    if decoder.ta is not None:
+        flags = [f"TA={decoder.ta}", f"MS={'music' if decoder.ms else 'speech'}"]
+        if decoder.di_stereo is not None:
+            flags.append(f"DI={'stereo' if decoder.di_stereo else 'mono'}")
+        print(f"{prefix}RDS: {' '.join(flags)}", file=sys.stderr)
+    if decoder.pin is not None:
+        print(f"{prefix}RDS: PIN {decoder.pin}", file=sys.stderr)
+    for applied, aid in sorted(decoder.oda.items()):
+        from rtsdr_tpu.pipeline.groups import ODA_NAMES
+
+        name = ODA_NAMES.get(aid, f"AID 0x{aid:04X}")
+        print(f"{prefix}RDS: ODA {name} in group {applied}", file=sys.stderr)
+    for ev in decoder.tmc_events:
+        print(f"{prefix}RDS: TMC {ev}", file=sys.stderr)
+    for pi_on, on in sorted(decoder.eon.items()):
+        extra = f" AF {sorted(on.af_mhz)}" if on.af_mhz else ""
+        print(f"{prefix}RDS: EON PI=0x{pi_on:04X} PS='{on.ps_name}'{extra}",
+              file=sys.stderr)
 
 
 def _batch_decode(cfg, files, max_blocks, kwargs, rds_groups=False) -> int:

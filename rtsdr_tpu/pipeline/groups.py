@@ -9,12 +9,19 @@ per-window 16-bit info words are computed on device by the frame layer
 Group layout (RDS standard, IEC 62106):
   block A: PI code (station id)
   block B: group type (4) | version B0 | TP | PTY (5) | type-specific (5)
-  0A/0B:   PS name segment address in B[1:0]; block D = 2 PS chars
+  0A/0B:   PS name segment address in B[1:0]; block D = 2 PS chars;
+           B[4]=TA, B[3]=MS, B[2]=DI bit (segment 0 carries d3 .. 3
+           carries d0)
   2A:      RadioText segment in B[3:0]; blocks C+D = 4 RT chars
   2B:      same, block D only (2 chars)
   0A:      block C = two alternative-frequency (AF) codes
+  1A:      block D = Program Item Number (day/hour/minute)
+  3A:      ODA announcement: B[4:0] = applied group, block D = AID
   4A:      clock time/date: 17-bit MJD + hour/minute + local offset
+  8A:      TMC / ALERT-C (ISO 14819-1); single-group user messages
   10A:     Program Type Name segment in B[0]; blocks C+D = 4 PTYN chars
+  14A:     EON: block D = PI(ON); variants 0-3 = PS(ON), 4 = AF(ON)
+  15B:     fast basic tuning: TA/MS/DI flags only (B repeated in D)
 """
 
 from __future__ import annotations
@@ -70,6 +77,53 @@ class ClockTime:
                 f"{sign}{abs(self.offset_hours):g}")
 
 
+#  Registered Open Data Application IDs a tuner commonly meets (IEC 62106
+#  annex; used only for display — unknown AIDs still register).
+ODA_NAMES = {0xCD46: "RDS-TMC", 0x4BD7: "RadioText+", 0x6552: "eRT"}
+
+
+@dataclass(frozen=True)
+class ProgramItem:
+    """Decoded 1A block D: scheduled start of the current program item."""
+    day: int        # day of month, 0 = no PIN
+    hour: int
+    minute: int
+
+    def __str__(self) -> str:
+        return f"day {self.day} {self.hour:02d}:{self.minute:02d}"
+
+
+@dataclass(frozen=True)
+class TMCEvent:
+    """ALERT-C single-group user message (ISO 14819-1 §5.3): 8A with
+    X4=0 (user message) and F=1 (single group)."""
+    event: int      # 11-bit event code
+    location: int   # 16-bit location-table reference
+    extent: int     # 0-7 locations affected beyond `location`
+    direction: int  # 0 = positive, 1 = negative
+    diversion: int  # drivers advised to divert
+    duration: int   # 3-bit duration/persistence code
+
+    def __str__(self) -> str:
+        return (f"event {self.event} at loc {self.location} "
+                f"ext {'-' if self.direction else '+'}{self.extent}"
+                f"{' divert' if self.diversion else ''}")
+
+
+@dataclass
+class EONStation:
+    """Enhanced Other Networks (14A): what this station broadcasts about
+    a cross-referenced network."""
+    ps: list = field(default_factory=lambda: [" "] * 8)
+    af_mhz: set = field(default_factory=set)
+    pty: int | None = None
+    ta: int | None = None
+
+    @property
+    def ps_name(self) -> str:
+        return "".join(self.ps)
+
+
 @dataclass
 class Group:
     pi: int
@@ -99,6 +153,14 @@ class GroupDecoder:
     af_lfmf_khz: set = field(default_factory=set)  # LF/MF AFs (after 250)
     af_declared: int | None = None                # "N AFs follow" marker
     clock: ClockTime | None = None                # latest 4A group
+    ta: int | None = None                         # traffic announcement now
+    ms: int | None = None                         # 1 = music, 0 = speech
+    di: int = 0                                   # DI bits d3..d0 assembled
+    _di_seen: int = 0                             # which DI bits arrived
+    pin: ProgramItem | None = None                # latest 1A group
+    oda: dict = field(default_factory=dict)       # group name -> AID (3A)
+    tmc_events: list = field(default_factory=list)  # 8A single-group msgs
+    eon: dict = field(default_factory=dict)       # PI(ON) -> EONStation
     _af_lfmf_next: bool = False                   # code 250 seen: next
     #                                               code is an LF/MF number
     groups: list = field(default_factory=list)
@@ -125,6 +187,25 @@ class GroupDecoder:
                 new.append(g)
         self.groups.extend(new)
         return new
+
+    def _decode_flags(self, ib: int) -> None:
+        """TA/MS/DI from a 0A/0B/15B block B.  The DI bit in the group
+        with segment address s is d(3-s) — segment 3 carries d0, the
+        mono/stereo flag (IEC 62106 §3.2.1.5)."""
+        seg = ib & 0x3
+        self.ta = (ib >> 4) & 1
+        self.ms = (ib >> 3) & 1
+        bit = 3 - seg
+        self.di = (self.di & ~(1 << bit)) | (((ib >> 2) & 1) << bit)
+        self._di_seen |= 1 << bit
+
+    @property
+    def di_stereo(self) -> bool | None:
+        """Decoder-identification d0: True = transmission is stereo.
+        None until segment 3 has aired."""
+        if not self._di_seen & 1:
+            return None
+        return bool(self.di & 1)
 
     def _decode_af_pair(self, ic: int) -> None:
         """Two AF codes from a 0A block C.  Code 250 = 'an LF/MF frequency
@@ -170,10 +251,46 @@ class GroupDecoder:
         self.pty = g.pty
         if g.group_type == 0:
             seg = ib & 0x3
+            self._decode_flags(ib)
             self.ps[2 * seg] = chr((id_ >> 8) & 0xFF)
             self.ps[2 * seg + 1] = chr(id_ & 0xFF)
             if g.version == 0:           # 0A block C = two AF codes
                 self._decode_af_pair(ic)
+        elif g.group_type == 15 and g.version == 1:
+            self._decode_flags(ib)       # 15B: fast TA/MS/DI, no PS chars
+        elif g.group_type == 1 and g.version == 0:
+            day = (id_ >> 11) & 0x1F
+            if day:                      # day 0 = no program item running
+                self.pin = ProgramItem(day, (id_ >> 6) & 0x1F, id_ & 0x3F)
+        elif g.group_type == 3 and g.version == 0:
+            agtc = ib & 0x1F             # applied group: type<<1 | version
+            applied = f"{agtc >> 1}{'B' if agtc & 1 else 'A'}"
+            self.oda[applied] = id_      # block D = Application ID
+        elif g.group_type == 8 and g.version == 0:
+            # ALERT-C: decode only single-group user messages
+            # (X4=0 user message, F=1 single group, ISO 14819-1 §5.3)
+            if (ib >> 4) & 1 == 0 and (ib >> 3) & 1 == 1:
+                ev = TMCEvent(event=ic & 0x7FF, location=id_,
+                              extent=(ic >> 11) & 0x7,
+                              direction=(ic >> 14) & 1,
+                              diversion=(ic >> 15) & 1,
+                              duration=ib & 0x7)
+                if not self.tmc_events or self.tmc_events[-1] != ev:
+                    self.tmc_events.append(ev)
+        elif g.group_type == 14 and g.version == 0:
+            on = self.eon.setdefault(id_, EONStation())  # block D = PI(ON)
+            variant = ib & 0xF
+            if variant < 4:              # PS(ON) segments
+                on.ps[2 * variant] = chr((ic >> 8) & 0xFF)
+                on.ps[2 * variant + 1] = chr(ic & 0xFF)
+            elif variant == 4:           # AF(ON) pair, method A
+                for code in ((ic >> 8) & 0xFF, ic & 0xFF):
+                    f = decode_af_code(code)
+                    if f is not None:
+                        on.af_mhz.add(f)
+            elif variant == 13:          # PTY(ON) + TA(ON)
+                on.pty = (ic >> 11) & 0x1F
+                on.ta = ic & 1
         elif g.group_type == 4 and g.version == 0:
             mjd = ((ib & 0x3) << 15) | (ic >> 1)
             year, month, day = mjd_to_date(mjd)

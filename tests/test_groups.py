@@ -58,17 +58,33 @@ def _ct_words(pty):
     return b, c, d
 
 
+#  1A Program Item Number: day 18, 04:30.
+_PIN_WORD = (18 << 11) | (4 << 6) | 30
+#  3A ODA announcement: RDS-TMC (AID 0xCD46) carried in group 8A.
+_ODA_AGTC = (8 << 1) | 0
+#  8A single-group TMC event: event 401 "roadworks", location 12345,
+#  extent +2, diversion advised, duration code 3.
+_TMC_C = (1 << 15) | (0 << 14) | (2 << 11) | 401
+_TMC_D = 12345
+#  14A EON cross-reference: PI(ON) 0x2BEE, PS(ON) 'EON RDIO', AF 99.9 MHz.
+_EON_PI = 0x2BEE
+
+
 def _make_station_groups(n_groups, pi=0x3A5C, pty=5, ps="TPU RDIO",
                          radiotext="MXU RDIO", ptyn="ROCKHITS"):
     """3 of 4 groups are 0A (PS segments cycling), every 4th is 2A
     (RadioText, 2 segments) — PS converges fast at the ~0.73 groups/block
     rate of the 2375 bit/s stream.  Every 16th group is 4A clock time;
-    groups 6 and 9 of every 16 are 10A Program Type Name segments."""
+    groups 6 and 9 of every 16 are 10A Program Type Name segments;
+    group 10 is 1A (PIN), 13 is 3A (ODA announce), 14 is 8A (TMC).
+    Groups 16-20 mod 32 carry the five 14A EON variants (slots chosen to
+    dodge the %16 branches above, which take precedence)."""
     words = []
     ps = (ps + " " * 8)[:8]
     rt = (radiotext + " " * 8)[:8]
     pn = (ptyn + " " * 8)[:8]
-    ps_i = rt_i = pn_i = 0
+    eon_ps = "EON RDIO"
+    ps_i = rt_i = pn_i = eon_i = 0
     for g in range(n_groups):
         if g % 16 == 5:
             b, c, d = _ct_words(pty)
@@ -79,6 +95,28 @@ def _make_station_groups(n_groups, pi=0x3A5C, pty=5, ps="TPU RDIO",
             b = (10 << 12) | (0 << 11) | (1 << 10) | (pty << 5) | seg
             c = (ord(pn[4 * seg]) << 8) | ord(pn[4 * seg + 1])
             d = (ord(pn[4 * seg + 2]) << 8) | ord(pn[4 * seg + 3])
+        elif g % 16 == 10:       # 1A: Program Item Number in block D
+            b = (1 << 12) | (0 << 11) | (1 << 10) | (pty << 5)
+            c = 0
+            d = _PIN_WORD
+        elif g % 16 == 13:       # 3A: announce TMC ODA in 8A
+            b = (3 << 12) | (0 << 11) | (1 << 10) | (pty << 5) | _ODA_AGTC
+            c = 0
+            d = 0xCD46
+        elif g % 16 == 14:       # 8A: single-group TMC user message
+            #                      (X4=0 user msg, F=1 single group, DP=3)
+            b = (8 << 12) | (0 << 11) | (1 << 10) | (pty << 5) | (1 << 3) | 3
+            c = _TMC_C
+            d = _TMC_D
+        elif g % 32 in (16, 17, 18, 19, 20):  # 14A EON: PS(ON) 0-3, AF 4
+            variant = eon_i % 5
+            eon_i += 1
+            b = (14 << 12) | (0 << 11) | (1 << 10) | (pty << 5) | variant
+            if variant < 4:
+                c = (ord(eon_ps[2 * variant]) << 8) | ord(eon_ps[2 * variant + 1])
+            else:
+                c = (124 << 8) | 205   # AF(ON): 99.9 MHz + filler
+            d = _EON_PI
         elif g % 4 == 3:
             seg = rt_i % 2
             rt_i += 1
@@ -88,7 +126,11 @@ def _make_station_groups(n_groups, pi=0x3A5C, pty=5, ps="TPU RDIO",
         else:
             seg = ps_i % 4
             ps_i += 1
-            b = (0 << 12) | (0 << 11) | (1 << 10) | (pty << 5) | seg
+            # TA=1, MS=music, DI bit for this segment: d0=1 (stereo),
+            # d3..d1 = 0
+            di_bit = 1 if seg == 3 else 0
+            b = ((0 << 12) | (0 << 11) | (1 << 10) | (pty << 5)
+                 | (1 << 4) | (1 << 3) | (di_bit << 2) | seg)
             c = _AF_PAIRS[ps_i % 2]  # 0A block C = AF codes
             d = (ord(ps[2 * seg]) << 8) | ord(ps[2 * seg + 1])
         words.extend([pi, b, c, d])
@@ -97,7 +139,9 @@ def _make_station_groups(n_groups, pi=0x3A5C, pty=5, ps="TPU RDIO",
 
 @pytest.fixture(scope="module")
 def decoded_station():
-    n_blocks = 14
+    # ~0.73 groups/block; 38 blocks ≈ 27 groups — enough to air the whole
+    # 32-group schedule incl. the 14A EON variants at g%32 in 17..25
+    n_blocks = 38
     words = _make_station_groups(40 * n_blocks)
     wave = rds_baseband(encode_rds_blocks(words))
     rng = np.random.default_rng(0x6A)
@@ -124,7 +168,7 @@ def test_groups_decode_pi_pty(decoded_station):
     for g in dec.groups:
         assert g.pi == 0x3A5C
         assert g.tp == 1
-        assert g.name in ("0A", "2A", "4A", "10A")
+        assert g.name in ("0A", "1A", "2A", "3A", "4A", "8A", "10A", "14A")
     line = format_group(dec.groups[0])
     assert "PI=0x3A5C" in line and "PTY=Rock" in line
 
@@ -149,6 +193,46 @@ def test_groups_decode_af_and_clock(decoded_station):
     assert (ct.year, ct.month, ct.day) == _CT_DATE[:3]
     assert (ct.hour, ct.minute, ct.offset_hours) == _CT_DATE[3:]
     assert str(ct) == "2026-08-18 03:45 UTC-2.5"
+
+
+def test_groups_decode_flags(decoded_station):
+    """TA/MS from every 0A block B; DI d0 (stereo) from segment 3."""
+    dec = decoded_station
+    assert dec.ta == 1
+    assert dec.ms == 1
+    assert dec.di_stereo is True
+    assert dec.di == 0b0001
+
+
+def test_groups_decode_pin(decoded_station):
+    """1A block D = Program Item Number (schedule day/hour/minute)."""
+    pin = decoded_station.pin
+    assert pin is not None
+    assert (pin.day, pin.hour, pin.minute) == (18, 4, 30)
+    assert str(pin) == "day 18 04:30"
+
+
+def test_groups_decode_oda_and_tmc(decoded_station):
+    """3A registers the TMC AID against group 8A; the 8A single-group
+    user message decodes to its ALERT-C fields."""
+    dec = decoded_station
+    assert dec.oda == {"8A": 0xCD46}
+    assert len(dec.tmc_events) >= 1
+    ev = dec.tmc_events[0]
+    assert (ev.event, ev.location) == (401, 12345)
+    assert (ev.extent, ev.direction, ev.diversion, ev.duration) == (2, 0, 1, 3)
+    assert str(ev) == "event 401 at loc 12345 ext +2 divert"
+    # repeats of the same message are not duplicated
+    assert len(dec.tmc_events) == len(set(dec.tmc_events))
+
+
+def test_groups_decode_eon(decoded_station):
+    """14A cross-references: PS(ON) assembles, AF(ON) decodes."""
+    dec = decoded_station
+    assert _EON_PI in dec.eon
+    on = dec.eon[_EON_PI]
+    assert on.ps_name == "EON RDIO"
+    assert on.af_mhz == {99.9}
 
 
 def test_af_pair_decoding_special_codes():
