@@ -41,9 +41,17 @@ def main(argv=None) -> int:
     p.add_argument("--clock", choices=("hold", "track", "argmax", "gardner"),
                    default="hold",
                    help="RDS symbol-clock recovery: hold/track = reference "
-                        "parity modes; argmax = per-block re-estimation; "
-                        "gardner = decision-directed timing loop (tracks "
-                        "receiver XO ppm error the reference modes cannot)")
+                        "parity modes (track reproduces the golden model's "
+                        "quirky k->24-k update — diagnostics only); argmax "
+                        "= per-block re-estimation; gardner = decision-"
+                        "directed timing loop (tracks receiver XO ppm error "
+                        "the reference modes cannot)")
+    p.add_argument("--pll-div", type=int, default=1, choices=(1, 2, 4, 8),
+                   metavar="N",
+                   help="run the PLL loop filter every N-th sample with "
+                        "bandwidth-preserving gains (NCO stays full-rate): "
+                        "~N x faster carrier recovery on TPU, same lock "
+                        "behavior; 1 = golden-model parity")
     p.add_argument("--resync", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="reset the sync anchor after >10 bad syndromes "
@@ -96,6 +104,8 @@ def main(argv=None) -> int:
         kwargs["offset_mode"] = args.clock
     if args.resync:
         kwargs["resync"] = True
+    if args.pll_div != 1:
+        kwargs["pll_loop_div"] = args.pll_div
 
     if args.scan:
         if not args.wideband:

@@ -73,7 +73,7 @@ def _wrap_pi(z):
     return z - _TWO_PI * jnp.round(z * (1.0 / _TWO_PI))
 
 
-def _kernel_v4(*refs, chunk, kq, ki, delayed, part_rows):
+def _kernel_v4(*refs, chunk, kq, ki, delayed, part_rows, loop_div=1):
     """v4: the whole PLL stage in one kernel — layout transposes, theta
     reconstruction, the 2-row recurrence, NCO cos/sin synthesis and the
     delayed-by-one output all live here.
@@ -135,25 +135,26 @@ def _kernel_v4(*refs, chunk, kq, ki, delayed, part_rows):
         pg = p_ref[g, :]
         rows_i, rows_q = [], []
         for r in range(8):
-            # --- prep, all off the phase->phase chain ---
-            tp = pg + jnp.float32(r) * dth if r else pg
-            tp = tp - _FOUR_PI * jnp.floor(tp * (1.0 / _FOUR_PI))
-            if r == 0:
-                # very first step: feedback argument replaces theta_prev
-                f = f_first * jnp.float32(g == 0)
-                tp = f * ovr + (1.0 - f) * tp
-            s = jnp.sign(xb[r, :])
-            m = s * s
-            w = (_PI * 0.5) * (1.0 - s) - tp
-            b = m * kq_v
-            a = m * ki_v
-            pi_pre = phase + integ
-            # --- critical chain (identical to v3) ---
-            z = w - phase
-            rr = jnp.round(z * _INV_TWO_PI)
-            t = z - _TWO_PI * rr
-            integ = integ + a * t
-            phase = pi_pre + b * t
+            if r % loop_div == 0:
+                # --- prep, all off the phase->phase chain ---
+                tp = pg + jnp.float32(r) * dth if r else pg
+                tp = tp - _FOUR_PI * jnp.floor(tp * (1.0 / _FOUR_PI))
+                if r == 0:
+                    # very first step: feedback argument replaces theta_prev
+                    f = f_first * jnp.float32(g == 0)
+                    tp = f * ovr + (1.0 - f) * tp
+                s = jnp.sign(xb[r, :])
+                m = s * s
+                w = (_PI * 0.5) * (1.0 - s) - tp
+                b = m * kq_v
+                a = m * ki_v
+                pi_pre = phase + integ
+                # --- critical chain (identical to v3) ---
+                z = w - phase
+                rr = jnp.round(z * _INV_TWO_PI)
+                t = z - _TWO_PI * rr
+                integ = integ + a * t
+                phase = pi_pre + b * t
             # --- NCO synthesis, off-chain (hides in the bubbles) ---
             th_j = pg + jnp.float32(r + 1) * dth
             th_j = th_j - _FOUR_PI * jnp.floor(th_j * (1.0 / _FOUR_PI))
@@ -265,14 +266,20 @@ def pll_pallas(
     chunk: int = 4096,
     interpret: bool | None = None,
     delay_output: bool = True,
+    loop_div: int = 1,
 ) -> tuple[jax.Array, jax.Array, PLLState]:
     """Drop-in replacement for ``ops.pll.pll`` (float32, TPU-compiled).
 
     x: (..., N); state leaves (...,).  Returns the same delayed-by-one NCO
-    views and updated state.
+    views and updated state.  ``loop_div`` (see ``ops.pll.pll``): the
+    recurrence runs every loop_div-th sample with bandwidth-preserving
+    gains while the NCO emits at full rate — the in-kernel dependency
+    chain (the stage's latency bound) shrinks by ~loop_div.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if loop_div not in (1, 2, 4, 8):
+        raise ValueError("loop_div must divide the kernel's 8-step group")
     # tuple input = jnp.stack(x, axis=0) semantics; the v4 kernel reads
     # the parts directly (no stacked HBM copy — the receiver's fused
     # stereo+RDS pair saves a full IF-rate buffer per step)
@@ -306,7 +313,9 @@ def pll_pallas(
         arr = np.broadcast_to(np.asarray(v, np_t), batch_shape)
         return np.ascontiguousarray(arr.reshape(c_real), np_t)
 
-    nb64 = np.asarray(norm_bandwidth, np.float64)
+    # loop_div scales the gains so the loop bandwidth in Hz is unchanged
+    # at the decimated update rate (see ops.pll.pll docstring)
+    nb64 = np.asarray(norm_bandwidth, np.float64) * loop_div
     kp_np = lane_np(nb64 * cp)
     ki_np = lane_np(nb64 * nb64 * ci)
     dtheta64 = np.broadcast_to(
@@ -330,8 +339,13 @@ def pll_pallas(
         return _call_v4(x2d_parts, state, kp_np, ki_np, spans,
                         nco_scale, phase_adjust, n, c, c_real, dtype,
                         batch_shape, interpret, delay_output, np_t,
-                        lane_np)
+                        lane_np, loop_div)
 
+    if loop_div != 1:
+        raise ValueError(
+            "loop_div > 1 needs the fused v4 kernel (uniform dtheta "
+            "spans, 128-multiple chunk); this call is not eligible — "
+            "use impl='scan' or loop_div=1")
     if parts is not None:
         x = jnp.stack(parts, axis=0)
     xt = x.reshape(c_real, n).T  # (N, C_real)
@@ -382,7 +396,7 @@ def _v4_chunk(n: int, c: int) -> int | None:
 
 def _call_v4(x2d_parts, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
              n, c, c_real, dtype, batch_shape, interpret, delay_output,
-             np_t, lane_np):
+             np_t, lane_np, loop_div=1):
     """Fully-fused kernel path: channel-major in/out, no XLA glue.
 
     ``x2d_parts``: list of (c_i, n) arrays concatenated logically along
@@ -446,7 +460,8 @@ def _call_v4(x2d_parts, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
     chunk = _v4_chunk(n, c)
 
     kern = partial(_kernel_v4, chunk=chunk, kq=kq, ki=ki,
-                   delayed=delay_output, part_rows=part_rows)
+                   delayed=delay_output, part_rows=part_rows,
+                   loop_div=loop_div)
     ni, nq, s_out = pl.pallas_call(
         kern,
         grid=(n // chunk,),

@@ -70,6 +70,7 @@ def pll(
     unroll: int = 2,
     impl: str = "scan",
     delay_output: bool = True,
+    loop_div: int = 1,
 ) -> tuple[jax.Array, jax.Array, PLLState]:
     """Run the PLL over one block.
 
@@ -88,6 +89,17 @@ def pll(
         one-indexed (ncoOut[k+1] holds the NCO at sample k), this view is
         the *time-aligned* one.  False shifts the NCO one sample early
         (diagnostic only).
+      loop_div: run the loop-filter recurrence only every ``loop_div``-th
+        sample (1 = golden parity).  The NCO / feedback angles still
+        advance at full rate, so the output is a full-rate carrier; the
+        detector samples the error process ``loop_div`` x more sparsely
+        and the PI gains are scaled (norm_bandwidth x loop_div at the
+        decimated update rate) so the loop's bandwidth in Hz is
+        unchanged.  The recurrence is latency-bound on TPU, so the PLL
+        stage's wall-time drops by ~loop_div; lock/tracking behavior is
+        preserved within the loop's own noise (tests assert stereo
+        separation and RDS sync parity at div<=4).  N must be divisible
+        by loop_div.
 
     Returns:
       nco_i, nco_q: (..., N) NCO outputs *delayed by one sample* (the
@@ -107,7 +119,7 @@ def pll(
         return pll_pallas(
             x, state, freq=freq, fs=fs, nco_scale=nco_scale,
             phase_adjust=phase_adjust, norm_bandwidth=norm_bandwidth,
-            delay_output=delay_output)
+            delay_output=delay_output, loop_div=loop_div)
     if isinstance(x, (tuple, list)):
         x = jnp.stack(x, axis=0)
     dtype = x.dtype
@@ -119,7 +131,8 @@ def pll(
     # derived constants are computed in float64 host-side, then cast.
     import numpy as np
 
-    nb64 = np.asarray(norm_bandwidth, np.float64)
+    assert loop_div >= 1 and x.shape[-1] % loop_div == 0
+    nb64 = np.asarray(norm_bandwidth, np.float64) * loop_div
     f64 = np.asarray(freq, np.float64)
     kp = jnp.asarray(np.asarray(nb64 * cp)).astype(dtype)
     ki = jnp.asarray(np.asarray(nb64 * nb64 * ci)).astype(dtype)
@@ -131,26 +144,52 @@ def pll(
     # time-major for scan: (N, ...)
     xs = jnp.moveaxis(x, -1, 0)
 
-    def step(carry, xk):
+    def update(carry, xk):
+        """One loop-filter update from detector sample xk (pre-update
+        feedback angles), followed by a theta advance."""
         integ, phase, fb_i, fb_q, theta = carry
         error_i = xk * fb_i
         error_q = xk * (-fb_q)
         error_d = jnp.arctan2(error_q, error_i)
         integ = integ + ki * error_d
         phase = jnp.mod(phase + kp * error_d + integ, four_pi)
-        theta = jnp.mod(theta + dtheta, four_pi)
+        return integ, phase, theta
+
+    def emit(phase, theta, dth):
+        theta = jnp.mod(theta + dth, four_pi)
         arg = theta + phase
-        fb_i = jnp.cos(arg)
-        fb_q = jnp.sin(arg)
         nco_arg = arg * scale + adjust
-        nco_i = jnp.cos(nco_arg)
-        nco_q = jnp.sin(nco_arg)
-        return (integ, phase, fb_i, fb_q, theta), (nco_i, nco_q)
+        return theta, arg, jnp.cos(nco_arg), jnp.sin(nco_arg)
+
+    if loop_div == 1:
+        def step(carry, xk):
+            integ, phase, theta = update(carry, xk)
+            theta, arg, nco_i, nco_q = emit(phase, theta, dtheta)
+            return ((integ, phase, jnp.cos(arg), jnp.sin(arg), theta),
+                    (nco_i, nco_q))
+        scan_xs = xs
+    else:
+        # grouped scan: one recurrence per group of loop_div samples, the
+        # NCO/theta advancing per sample (full-rate carrier out)
+        def step(carry, xg):
+            integ, phase, theta = update(carry, xg[0])
+            outs_i, outs_q = [], []
+            for j in range(loop_div):
+                theta, arg, nco_i, nco_q = emit(phase, theta, dtheta)
+                outs_i.append(nco_i)
+                outs_q.append(nco_q)
+            return ((integ, phase, jnp.cos(arg), jnp.sin(arg), theta),
+                    (jnp.stack(outs_i), jnp.stack(outs_q)))
+        scan_xs = xs.reshape(xs.shape[0] // loop_div, loop_div,
+                             *xs.shape[1:])
 
     carry0 = (state.integrator, state.phase_est, state.fb_i, state.fb_q,
               state.theta)
     (integ, phase, fb_i, fb_q, theta), (nco_i_seq, nco_q_seq) = jax.lax.scan(
-        step, carry0, xs, unroll=unroll)
+        step, carry0, scan_xs, unroll=unroll)
+    if loop_div > 1:
+        nco_i_seq = nco_i_seq.reshape(-1, *nco_i_seq.shape[2:])
+        nco_q_seq = nco_q_seq.reshape(-1, *nco_q_seq.shape[2:])
 
     # (N, ...) -> (..., N)
     nco_i_new = jnp.moveaxis(nco_i_seq, 0, -1)

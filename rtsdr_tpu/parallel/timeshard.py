@@ -85,6 +85,7 @@ def make_time_sharded_receiver(
     ingest_impl: str = "auto",
     resamp_impl: str = "auto",
     pll_handoff: str = "exact",
+    pll_loop_div: int = 1,
 ):
     """Build ``(init_fn, step_fn)`` sharded over (channel, time).
 
@@ -118,6 +119,7 @@ def make_time_sharded_receiver(
     assert pll_handoff in ("exact", "stale", "iterate")
     concurrent_pll = pll_handoff != "exact"
     pll_passes = {"exact": 0, "stale": 1, "iterate": 2}[pll_handoff]
+    assert (cfg.if_len // mesh.shape[TIME_AXIS]) % pll_loop_div == 0
 
     T = mesh.shape[TIME_AXIS]
     n_ch_shards = mesh.shape[CHANNEL_AXIS]
@@ -317,7 +319,8 @@ def make_time_sharded_receiver(
             pilot, state.audio.pll,
             freq=pcfg.freq, fs=cfg.rf.if_fs,
             nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
-            norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl)
+            norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl,
+            loop_div=pll_loop_div)
         chan, chan_zi = halo_fir(fir_block, fm, chan_h, state.audio.chan_zi)
         mixed = 2.0 * chan * nco
         st_u_tail = _upsampled_tail(mixed, a_taps - 1, up)
@@ -359,7 +362,8 @@ def make_time_sharded_receiver(
                 pre_pll, state.rds.pll,
                 freq=rp.freq, fs=cfg.rf.if_fs,
                 nco_scale=rp.nco_scale, phase_adjust=rp.phase_adjust,
-                norm_bandwidth=rp.norm_bandwidth, impl=pll_impl)
+                norm_bandwidth=rp.norm_bandwidth, impl=pll_impl,
+                loop_div=pll_loop_div)
             # mixer fused into the polyphase resampler (same fast kernel
             # as the serial receiver, pipeline/rds.py); the halo is the
             # left neighbor's carry, computed by the op's own tail helper

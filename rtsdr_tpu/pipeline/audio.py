@@ -71,7 +71,8 @@ def audio_init(cfg: ReceiverConfig, batch_shape: tuple = (),
 
 
 def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
-               pll_impl: str = "auto", deemphasis: float | None = None):
+               pll_impl: str = "auto", deemphasis: float | None = None,
+               pll_loop_div: int = 1):
     """Returns ``audio(state, fm_demod) -> ((left, right, mono), new_state)``.
 
     fm_demod: (..., if_len); outputs at 48 kS/s: (..., audio_len).
@@ -127,7 +128,7 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
                 pilot, state.pll, freq=pcfg.freq, fs=if_fs,
                 nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
                 norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl,
-                delay_output=cfg.stereo.nco_delay)
+                delay_output=cfg.stereo.nco_delay, loop_div=pll_loop_div)
 
         # mix the stereo channel to baseband; then mono and stereo share
         # the same 16 kHz resampler taps.  On TPU (mode-0 shapes) the

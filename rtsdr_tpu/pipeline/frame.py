@@ -225,7 +225,12 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
       * 'hold'  — block-0 argmax held forever (the C++'s behavior,
                   src/fm_radio.cpp:529-538); default, golden parity.
       * 'track' — the model's per-block phase bookkeeping
-                  (model/fmRDSblock.py:219); golden parity.
+                  (model/fmRDSblock.py:219); golden parity.  NOTE the
+                  model's update maps phase k to 24-k (its own quirk),
+                  so unless the acquired offset is 12 (or 0/24) the
+                  sampling phase oscillates off-peak on alternate
+                  blocks — keep it for model-parity checks, use
+                  'hold'/'gardner' for real decoding.
       * 'argmax' — re-estimate the offset from each block's first symbol
                   period; self-corrects slow clock drift at the cost of
                   occasional one-symbol slips at re-estimation seams, and

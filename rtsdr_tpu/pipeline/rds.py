@@ -80,7 +80,7 @@ def rds_init(cfg: ReceiverConfig, batch_shape: tuple = (),
 
 
 def make_rds(cfg: ReceiverConfig, pll_impl: str = "auto",
-             resamp_impl: str = "auto"):
+             resamp_impl: str = "auto", pll_loop_div: int = 1):
     """Returns ``rds(state, fm_demod) -> ((rrc_i, rrc_q), new_state)``.
 
     fm_demod: (..., if_len); rrc outputs: (..., rds_len) at 57 kS/s.
@@ -117,7 +117,8 @@ def make_rds(cfg: ReceiverConfig, pll_impl: str = "auto",
             nco_i, nco_q, pll_state = pll(
                 pre_pll, state.pll, freq=pcfg.freq, fs=if_fs,
                 nco_scale=pcfg.nco_scale, phase_adjust=pcfg.phase_adjust,
-                norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl)
+                norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl,
+                loop_div=pll_loop_div)
 
         # I/Q mixers fused into the composed polyphase resampler: one
         # Pallas pass does mixer + 3 kHz LPF + anti-image + decimation

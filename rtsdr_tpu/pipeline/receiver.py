@@ -69,6 +69,7 @@ def make_receiver(
     deemphasis: float | None = None,
     frontend_impl: str = "auto",
     resamp_impl: str = "auto",
+    pll_loop_div: int = 1,
 ):
     """Build ``(init_fn, step_fn)`` for the full receiver.
 
@@ -79,6 +80,11 @@ def make_receiver(
     ``step_fn(state, raw_u8)``: raw_u8 is (..., block_size) interleaved
     uint8 IQ — or, with ``frontend_impl='iq'``, float (..., 2, iq_len)
     stacked I/Q (the wideband channelizer's per-channel output).
+
+    ``pll_loop_div``: run the PLL loop-filter recurrence every N-th sample
+    with bandwidth-preserving gains (NCO still full-rate) — ~N x faster
+    PLL stage, same lock behavior, not bit-identical to the golden model
+    (see ops/pll.py).  1 (default) = golden parity.
     """
     if enable_rds is None:
         enable_rds = cfg.rds is not None
@@ -87,8 +93,10 @@ def make_receiver(
 
     frontend = make_frontend(cfg, dtype, impl=frontend_impl)
     audio = make_audio(cfg, enable_stereo=enable_stereo,
-                       pll_impl=pll_impl, deemphasis=deemphasis)
-    rds_fn = (make_rds(cfg, pll_impl=pll_impl, resamp_impl=resamp_impl)
+                       pll_impl=pll_impl, deemphasis=deemphasis,
+                       pll_loop_div=pll_loop_div)
+    rds_fn = (make_rds(cfg, pll_impl=pll_impl, resamp_impl=resamp_impl,
+                       pll_loop_div=pll_loop_div)
               if enable_rds else None)
 
     # With both stereo and RDS on, three IF-rate band-passes (pilot,
@@ -184,7 +192,8 @@ def make_receiver(
                 nco_i2, nco_q2, st2 = pll(
                     pair, st2, freq=pll_freqs, fs=cfg.rf.if_fs,
                     nco_scale=pll_scales, phase_adjust=pll_adjusts,
-                    norm_bandwidth=pll_bws, impl=pll_impl)
+                    norm_bandwidth=pll_bws, impl=pll_impl,
+                    loop_div=pll_loop_div)
                 audio_nco = (nco_i2[0], jax.tree.map(lambda v: v[0], st2))
                 rds_nco = (nco_i2[1], nco_q2[1],
                            jax.tree.map(lambda v: v[1], st2),

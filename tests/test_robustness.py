@@ -119,3 +119,31 @@ def test_heavy_noise_no_crash():
     syncs, audio = _run(iq, n_blocks, resync=True)
     assert not np.any(np.isnan(audio))
     assert np.all(np.abs(audio) < 1e3)
+
+
+@pytest.mark.parametrize("div", [2, 4])
+def test_pll_loop_div_full_chain_quality(div):
+    """pll_loop_div trades golden-parity for ~div x faster PLL wall-time
+    (ops/pll.py): on a detuned station the divided-loop receiver must
+    still deliver stereo separation and RDS sync on par with the
+    full-rate receiver — audio within tight SNR after lock."""
+    n_blocks = 6
+    rng = np.random.default_rng(0x517)
+    bits = encode_rds_blocks(rng.integers(0, 2, (40 * n_blocks, 16)))
+    wave = rds_baseband(bits)
+    n = n_blocks * MODE0.block_size // 2
+    iq = synth_multiplex_iq(n, rds_wave=wave, pilot_hz=19e3 + 40.0,
+                            phase_noise_std=5e-4, rng=rng)
+    syncs_full, audio_full = _run(iq, n_blocks)
+    syncs_div, audio_div = _run(iq, n_blocks, pll_loop_div=div)
+
+    assert all(s >= 1 for s in syncs_div[2:]), (
+        f"div={div} RDS lost sync: {syncs_div}")
+    # post-lock audio agreement with the full-rate receiver: the divided
+    # loop's extra phase ripple is far below audible stereo leakage
+    a = audio_full[2 * MODE0.audio_len:]
+    b = audio_div[2 * MODE0.audio_len:]
+    err = np.sqrt(np.mean((a - b) ** 2))
+    sig = np.sqrt(np.mean(a ** 2))
+    snr_db = 20 * np.log10(sig / max(err, 1e-30))
+    assert snr_db > 30, f"div={div}: audio SNR vs full-rate {snr_db:.1f} dB"
