@@ -19,9 +19,11 @@ prediction per mesh axis:
     overlap-save tails, timeshard.py halo_fir / raw-byte halo), psum
     replication of updated carries (timeshard.py from_last), the
     all_gather of the 57 kS/s RRC stream for the replicated bit layer, and
-    the sequential PLL state pipeline (timeshard.py pll_chain) — which is
-    the Amdahl term: the PLL scan does not shrink with T, so time-sharding
-    accelerates only the FIR-dominated remainder.
+    the sequential PLL state pipeline (timeshard.py pll_chain) — the
+    Amdahl term under pll_handoff='exact' (the PLL scan does not shrink
+    with T).  The 'stale' and 'iterate' handoffs run the shards'
+    loops concurrently (1 or 2 passes), collapsing that term to
+    (passes/T)*PLL — the model predicts all three.
 
 Usage:
     python tools/comm_model.py [--channels 512] [--ici-gbps 100]
@@ -102,21 +104,31 @@ def predict(cfg, channels: int, ici_gbps: float,
     step_ms = step_ms_512 * scale
     pll_ms = pll_ms_512 * scale
     fir_ms = step_ms - pll_ms
+    # the PLL wall-time per handoff mode (timeshard.py pll_chain):
+    #   exact   — shard-to-shard pipeline, serial: pll_ms (the Amdahl term)
+    #   stale   — all shards concurrent from extrapolated carries: pll_ms/T
+    #             (~45 dB audio agreement vs serial after lock)
+    #   iterate — one same-block refinement pass on top: 2*pll_ms/T
+    #             (float32-exact vs serial after lock)
     out = []
     for T in t_values:
         comm_bytes = per_ch * channels * (T - 1) / T
         comm_ms = comm_bytes / (ici_gbps * 1e9) * 1e3
-        # PLL pipeline adds (T-1) ppermute latencies (~2 us each, generous)
-        pll_pipe_ms = (T - 1) * 2e-3
-        pred_ms = fir_ms / T + pll_ms + comm_ms + pll_pipe_ms
-        out.append({
-            "T": T,
-            "comm_mbytes_per_step": round(comm_bytes / 1e6, 3),
-            "comm_ms": round(comm_ms, 4),
-            "predicted_step_ms": round(pred_ms, 3),
-            "speedup": round(step_ms / pred_ms, 2),
-            "efficiency": round(step_ms / pred_ms / T, 3),
-        })
+        # each PLL pass adds (T-1) ppermute latencies (~2 us each, generous)
+        hop_ms = (T - 1) * 2e-3
+        rec = {"T": T,
+               "comm_mbytes_per_step": round(comm_bytes / 1e6, 3),
+               "comm_ms": round(comm_ms, 4)}
+        for mode, pll_t, hops in (("exact", pll_ms, 1),
+                                  ("stale", pll_ms / T, 0),
+                                  ("iterate", 2 * pll_ms / T, 1)):
+            pred_ms = fir_ms / T + pll_t + comm_ms + hops * hop_ms
+            rec[mode] = {
+                "predicted_step_ms": round(pred_ms, 3),
+                "speedup": round(step_ms / pred_ms, 2),
+                "efficiency": round(step_ms / pred_ms / T, 3),
+            }
+        out.append(rec)
     return {
         "per_channel_bytes_per_boundary": per_ch,
         "assumed_ici_gbytes_per_sec": ici_gbps,
@@ -151,8 +163,10 @@ def main(argv=None) -> int:
                  "channel axis needs ZERO inter-chip bytes/step (whole "
                  "stations per chip) so throughput scaling is "
                  "ingest-bound, ~100% on ICI; the time axis is the "
-                 "single-station latency lever, Amdahl-bound by the "
-                 "sequential PLL pipeline, not by ICI bandwidth"),
+                 "single-station latency lever — Amdahl-bound by the "
+                 "sequential PLL pipeline under pll_handoff='exact', "
+                 "near-linear under 'stale' (PLL/T) and 'iterate' "
+                 "(2*PLL/T, float32-exact after lock)"),
         "traffic_itemized": timeshard_traffic(MODE0),
         "channel_axis": {"inter_chip_bytes_per_step": 0,
                          "predicted_efficiency": 1.0},
