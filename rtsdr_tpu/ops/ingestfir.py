@@ -62,28 +62,54 @@ def _pallas_banded_h(h: np.ndarray, block: int, stride_raw: int,
 
 
 def _ingest_kernel(p_ref, a_ref, hh_ref, ha_ref, yi_ref, yq_ref, *,
-                   block: int, head: int, p_w: int, inv_scale: float):
-    """One (channel-tile, output-block) step: windows never touch HBM.
+                   block: int, head: int, p_w: int, inv_scale: float,
+                   stride_raw: int, out_tile: int):
+    """One (channel-tile, 128-output-block) step: windows never touch HBM.
 
     p_ref is the previous aligned raw block (look-back head, width p_w).
     Its i32 dot contribution is masked to zero at j=0, where the head
     region is semantically the left zero-pad (Mosaic has no i8 vector
     multiply, so the mask applies after the MXU, not to the bytes).
+
+    The 128 outputs are computed as ``out_tile // block`` banded sub-dots
+    against ONE (head + block*stride, 4*block) filter matrix (the banded
+    pattern is shift-invariant, so every sub-dot reuses it): the MXU's
+    padded-FLOP count of the banded-Toeplitz trick is taps/span, so
+    narrowing the band from 128 to 32 outputs cuts the dead FLOPs ~2.6x
+    while output tiles stay Mosaic's required 128 lanes.  Sub-dot s>0
+    reads its ``head`` look-back entirely from within the A block
+    (block*stride >= head); only sub-dot 0 touches p_ref.
     """
     j = pl.program_id(1)
     hd = (p_ref[:, p_w - head:] ^ jnp.uint8(0x80)).astype(jnp.int8)
     aw = (a_ref[...] ^ jnp.uint8(0x80)).astype(jnp.int8)
     dn = (((1,), (0,)), ((), ()))
-    o = jax.lax.dot_general(aw, ha_ref[...], dimension_numbers=dn,
-                            preferred_element_type=jnp.int32)
-    oh = jax.lax.dot_general(hd, hh_ref[...], dimension_numbers=dn,
-                             preferred_element_type=jnp.int32)
-    o = (o + oh * (j > 0).astype(jnp.int32)).astype(jnp.float32)
     sc = np.float32(inv_scale)
     inv127 = np.float32(1.0 / 127.0)
-    yi_ref[...] = (o[:, :block] + o[:, 2 * block:3 * block] * inv127) * sc
-    yq_ref[...] = (o[:, block:2 * block]
-                   + o[:, 3 * block:4 * block] * inv127) * sc
+    bb = block * stride_raw
+    outs_i, outs_q = [], []
+    for s in range(out_tile // block):
+        body = aw[:, s * bb:(s + 1) * bb]
+        o = jax.lax.dot_general(body, ha_ref[...], dimension_numbers=dn,
+                                preferred_element_type=jnp.int32)
+        if s == 0:
+            oh = jax.lax.dot_general(hd, hh_ref[...], dimension_numbers=dn,
+                                     preferred_element_type=jnp.int32)
+            o = o + oh * (j > 0).astype(jnp.int32)
+        else:
+            pre = aw[:, s * bb - head:s * bb]
+            o = o + jax.lax.dot_general(pre, hh_ref[...],
+                                        dimension_numbers=dn,
+                                        preferred_element_type=jnp.int32)
+        o = o.astype(jnp.float32)
+        outs_i.append((o[:, :block] + o[:, 2 * block:3 * block] * inv127)
+                      * sc)
+        outs_q.append((o[:, block:2 * block]
+                       + o[:, 3 * block:4 * block] * inv127) * sc)
+    yi_ref[...] = (outs_i[0] if len(outs_i) == 1
+                   else jnp.concatenate(outs_i, axis=1))
+    yq_ref[...] = (outs_q[0] if len(outs_q) == 1
+                   else jnp.concatenate(outs_q, axis=1))
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5),
@@ -99,16 +125,18 @@ def _pallas_ingest(raw_u8, h_mat, stride_raw: int, block: int,
     and an i32 intermediate: ~5x the bytes).
     """
     head, span_k, inv_scale = params
+    out_tile = 128  # Mosaic's output-lane requirement; block divides it
     c, n = raw_u8.shape
     m_total = n // stride_raw
-    nblk = m_total // block
-    blk_bytes = block * stride_raw
+    nblk = m_total // out_tile
+    blk_bytes = out_tile * stride_raw
     # look-back ref: smallest 128-multiple width >= head dividing the
-    # A-block stride (512 at block=128/decim=10; 640 at block=64)
+    # A-block stride (512 at out_tile=128/decim=10)
     p_w = next(w for w in range(128, blk_bytes + 1, 128)
                if w >= head and blk_bytes % w == 0)
     kern = functools.partial(_ingest_kernel, block=block, head=head,
-                             p_w=p_w, inv_scale=inv_scale)
+                             p_w=p_w, inv_scale=inv_scale,
+                             stride_raw=stride_raw, out_tile=out_tile)
     yi, yq = pl.pallas_call(
         kern,
         grid=(c // tile_c, nblk),
@@ -126,9 +154,9 @@ def _pallas_ingest(raw_u8, h_mat, stride_raw: int, block: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_c, block), lambda i, j: (i, j),
+            pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_c, block), lambda i, j: (i, j),
+            pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -146,7 +174,7 @@ def ingest_fir_decimate(
     zi_i: jax.Array,
     zi_q: jax.Array,
     decim: int,
-    block: int = 128,
+    block: int = 64,
     halo: bool = False,
     impl: str = "auto",
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -154,6 +182,14 @@ def ingest_fir_decimate(
 
     Exactly ``fir_decimate(normalize(deinterleave(raw)), h, zi, decim)``
     for both I and Q, M = N/decim.
+
+    ``block``: banded sub-block width (outputs per banded matmul).  The
+    padded-FLOP count of the banded-Toeplitz trick is span/taps, so
+    narrower blocks waste fewer MXU FLOPs; the Pallas kernel still writes
+    128-lane output tiles as ``128/block`` sub-dots.  64 measured fastest
+    on v5e (~12% over 128 at 512-1024 channels; 32 pays more grid/epilogue
+    overhead than it saves); outputs are bitwise identical across block
+    sizes (integer-exact s8 accumulation).
 
     ``halo=True``: the first ``2*(taps-1)`` bytes of ``raw_u8`` are a REAL
     left halo (the preceding chunk's tail) instead of the implicit 128-pad
@@ -176,10 +212,12 @@ def ingest_fir_decimate(
 
     on_tpu = jax.default_backend() == "tpu"
     if impl == "auto":
-        bb = block * stride_raw
+        bb = 128 * stride_raw  # kernel output tile is 128 (Mosaic lanes)
         pallas_ok = (not halo and raw_u8.ndim == 2
                      and raw_u8.shape[0] % 32 == 0
-                     and m_total % block == 0
+                     and m_total % 128 == 0
+                     and 128 % block == 0
+                     and (block == 128 or block * stride_raw >= 384)
                      and 2 * t1 <= 384
                      and any(w >= 384 and bb % w == 0
                              for w in range(128, bb + 1, 128)))
@@ -192,6 +230,10 @@ def ingest_fir_decimate(
         c = raw_u8.shape[0]
         tile_c = tile_channels(c)
         head = 384
+        assert 128 % block == 0 and m_total % 128 == 0, (block, m_total)
+        assert block == 128 or block * stride_raw >= head, (
+            f"sub-blocks of {block} outputs x stride {stride_raw} cannot "
+            f"cover the {head}-byte look-back from within the A block")
         span_k = head + block * stride_raw
         h_mat, s1 = _pallas_banded_h(h, block, stride_raw, head, span_k)
         y_i, y_q = _pallas_ingest(

@@ -233,6 +233,8 @@ def pll_extrapolate_by(
     the state's batch shape (time-sharded receivers extrapolate each shard
     by its own offset in one call).
     """
+    import numpy as np
+
     dtype = state.phase_est.dtype
     four_pi = jnp.asarray(_FOUR_PI, dtype)
     theta = jnp.mod(state.theta + jnp.asarray(theta_advance, dtype), four_pi)
@@ -240,8 +242,8 @@ def pll_extrapolate_by(
                     + jnp.asarray(n_steps, dtype) * state.integrator,
                     four_pi)
     arg = theta + phase
-    scale = jnp.asarray(nco_scale, jnp.float64).astype(dtype)
-    adjust = jnp.asarray(phase_adjust, jnp.float64).astype(dtype)
+    scale = jnp.asarray(np.asarray(nco_scale, np.float64)).astype(dtype)
+    adjust = jnp.asarray(np.asarray(phase_adjust, np.float64)).astype(dtype)
     nco_arg = arg * scale + adjust
     return PLLState(integrator=state.integrator, phase_est=phase,
                     fb_i=jnp.cos(arg), fb_q=jnp.sin(arg),
