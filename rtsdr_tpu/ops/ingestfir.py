@@ -61,6 +61,36 @@ def _pallas_banded_h(h: np.ndarray, block: int, stride_raw: int,
     return h_mat, s1
 
 
+# odd-polynomial minimax fit of atan(r) on [0, 1] (degree 17, max error
+# 6.3e-9 — below f32 eps; f32 evaluation error dominates at ~1e-6 rad)
+_ATAN_COEFFS = (
+    9.9999990555e-01, -3.3332657853e-01, 1.9986537489e-01,
+    -1.4164333375e-01, 1.0507319787e-01, -7.2479506621e-02,
+    3.9899560039e-02, -1.4458697067e-02, 2.4682466247e-03,
+)
+_PI = float(np.pi)
+_PI_2 = float(np.pi / 2)
+
+
+def _atan2(y, x):
+    """Branch-free polynomial atan2 for Pallas kernels (no Mosaic atan2
+    lowering).  Matches XLA's atan2 within ~2e-6 rad on f32, including
+    the y==+0, x<0 -> +pi convention."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    r = lo / jnp.maximum(hi, jnp.float32(1e-37))   # 0/0 -> 0
+    r2 = r * r
+    a = jnp.float32(_ATAN_COEFFS[-1])
+    for cc in _ATAN_COEFFS[-2::-1]:
+        a = a * r2 + jnp.float32(cc)
+    a = a * r
+    a = jnp.where(ay > ax, jnp.float32(_PI_2) - a, a)
+    a = jnp.where(x < 0, jnp.float32(_PI) - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
 def _ingest_kernel(p_ref, a_ref, hh_ref, ha_ref, yi_ref, yq_ref, *,
                    block: int, head: int, p_w: int, inv_scale: float,
                    stride_raw: int, out_tile: int):
@@ -110,6 +140,60 @@ def _ingest_kernel(p_ref, a_ref, hh_ref, ha_ref, yi_ref, yq_ref, *,
                    else jnp.concatenate(outs_i, axis=1))
     yq_ref[...] = (outs_q[0] if len(outs_q) == 1
                    else jnp.concatenate(outs_q, axis=1))
+
+
+def _ingest_demod_kernel(p_ref, a_ref, hh_ref, ha_ref, bi_ref, bq_ref,
+                         s_ref, fm_ref, s_out_ref, yi_s, yq_s, ci, cq, *,
+                         block: int, head: int, p_w: int, inv_scale: float,
+                         stride_raw: int, out_tile: int):
+    """Ingest + RF FIR + exact FM discriminator, one kernel: the decimated
+    I/Q streams never touch HBM (the split path writes then re-reads both
+    — ~4x the demod-stage bytes).
+
+    Same banded sub-dots as ``_ingest_kernel``; the epilogue then applies
+    the j==0 carried-state boundary contribution (``bi/bq_ref``, the tiny
+    zi x hz matmuls computed outside — zero columns beyond ceil(t1/decim),
+    and the masked add is bitwise neutral at j>0), reconstructs the
+    one-sample-delayed streams from a cross-step carry, and emits
+    atan2(q*ip - i*qp, i*ip + q*qp) via the polynomial ``_atan2``
+    (Mosaic has no atan2 lowering; ~1e-6 rad vs XLA's).
+
+    All cross-sample plumbing is done with lane rotations only (scalar
+    lane indexing and width-1 lane concatenates lower via dynamic_slice,
+    which Mosaic lacks): the (tile_c, out_tile) carries ci/cq hold the
+    previous step's last sample in LANE 0 (other lanes are unread junk),
+    seeded at j==0 from ``s_ref`` (lane 0 = prev_i, lane 1 = prev_q) and
+    refreshed each step with a lane-rotate of the current block.  The j
+    grid dim iterates innermost, so the carry is per channel tile.
+    ``s_out_ref`` lane 0 / lane 1 = the block's last (i, q).
+    """
+    j = pl.program_id(1)
+    _ingest_kernel(p_ref, a_ref, hh_ref, ha_ref, yi_s, yq_s, block=block,
+                   head=head, p_w=p_w, inv_scale=inv_scale,
+                   stride_raw=stride_raw, out_tile=out_tile)
+    f0 = (j == 0).astype(jnp.float32)
+    yi = yi_s[...] + bi_ref[...] * f0
+    yq = yq_s[...] + bq_ref[...] * f0
+
+    @pl.when(j == 0)
+    def _():
+        ci[...] = s_ref[...]
+        cq[...] = pltpu.roll(s_ref[...], out_tile - 1, 1)  # lane0 <- lane1
+
+    # one-sample delay: lane-rotate + first-lane replace
+    lane = jax.lax.broadcasted_iota(jnp.int32, yi.shape, 1)
+    ri = pltpu.roll(yi, 1, 1)   # lane 0 = yi[:, -1]
+    rq = pltpu.roll(yq, 1, 1)
+    ip = jnp.where(lane == 0, ci[...], ri)
+    qp = jnp.where(lane == 0, cq[...], rq)
+    fm_ref[...] = _atan2(yq * ip - yi * qp, yi * ip + yq * qp)
+    ci[...] = ri
+    cq[...] = rq
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        # lane 0 = last i, lane 1 = last q (rotate q by one more lane)
+        s_out_ref[...] = jnp.where(lane == 0, ri, pltpu.roll(yq, 2, 1))
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5),
@@ -166,6 +250,152 @@ def _pallas_ingest(raw_u8, h_mat, stride_raw: int, block: int,
         interpret=jax.default_backend() != "tpu",
     )(raw_u8, raw_u8, h_mat[:head], h_mat[head:])
     return yi, yq
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9), inline=True)
+def _pallas_ingest_demod(raw_u8, h_mat, bnd_i, bnd_q, prev_i, prev_q,
+                         stride_raw: int, block: int, tile_c: int,
+                         params) -> tuple[jax.Array, jax.Array]:
+    """uint8 (c, n) -> (fm (c, n//stride), s_out (8, c)): fused ingest +
+    RF FIR + FM discriminator.  s_out rows 0/1 = the block's last i/q."""
+    head, span_k, inv_scale = params
+    out_tile = 128
+    c, n = raw_u8.shape
+    m_total = n // stride_raw
+    nblk = m_total // out_tile
+    blk_bytes = out_tile * stride_raw
+    p_w = next(w for w in range(128, blk_bytes + 1, 128)
+               if w >= head and blk_bytes % w == 0)
+    kern = functools.partial(_ingest_demod_kernel, block=block, head=head,
+                             p_w=p_w, inv_scale=inv_scale,
+                             stride_raw=stride_raw, out_tile=out_tile)
+    # lane 0 = prev_i, lane 1 = prev_q (the kernel reads lanes 0/1 only)
+    s_in = jnp.concatenate(
+        [prev_i[:, None].astype(jnp.float32),
+         prev_q[:, None].astype(jnp.float32),
+         jnp.zeros((c, out_tile - 2), jnp.float32)], axis=1)
+    fm, s_out = pl.pallas_call(
+        kern,
+        grid=(c // tile_c, nblk),
+        in_specs=[
+            pl.BlockSpec((tile_c, p_w),
+                         lambda i, j, r=blk_bytes // p_w: (
+                             i, jnp.maximum(j * r - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, blk_bytes), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((head, 4 * block), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((span_k - head, 4 * block), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, m_total), jnp.float32),
+            jax.ShapeDtypeStruct((c, out_tile), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_c, out_tile), jnp.float32),
+                        pltpu.VMEM((tile_c, out_tile), jnp.float32),
+                        pltpu.VMEM((tile_c, out_tile), jnp.float32),
+                        pltpu.VMEM((tile_c, out_tile), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(raw_u8, raw_u8, h_mat[:head], h_mat[head:], bnd_i, bnd_q, s_in)
+    return fm, s_out
+
+
+def ingest_fir_demod(
+    raw_u8: jax.Array,
+    h,
+    zi_i: jax.Array,
+    zi_q: jax.Array,
+    prev_i: jax.Array,
+    prev_q: jax.Array,
+    decim: int,
+    block: int = 64,
+    impl: str = "auto",
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused uint8 ingest + RF FIR + exact FM discriminator.
+
+    Semantics: ``fm_discriminator(*ingest_fir_decimate(raw, h, zi, decim)
+    [:2], (prev_i, prev_q))`` — but the decimated I/Q streams never
+    round-trip HBM (the split form writes + re-reads both: ~250 MB/step
+    at 1024 channels).  The discriminator's atan2 is the kernel
+    polynomial (~1e-6 rad vs XLA's atan2; the demod output spans ±pi, so
+    this is ~-120 dB — far below the audio chain's noise floor).
+
+    Returns (fm, new_zi_i, new_zi_q, new_prev_i, new_prev_q).  Falls back
+    to the split ops when the Pallas geometry is ineligible.
+    """
+    from rtsdr_tpu.ops.demod import fm_discriminator
+
+    h = np.asarray(h, np.float64)
+    taps = h.shape[0]
+    t1 = taps - 1
+    stride_raw = 2 * decim
+    m_total = raw_u8.shape[-1] // stride_raw
+    bb = 128 * stride_raw
+    geom_ok = (raw_u8.ndim == 2 and raw_u8.shape[0] % 32 == 0
+               and m_total % 128 == 0 and 128 % block == 0
+               and (block == 128 or block * stride_raw >= 384)
+               and 2 * t1 <= 384
+               and any(w >= 384 and bb % w == 0
+                       for w in range(128, bb + 1, 128)))
+    if impl == "auto":
+        # interleaved A/B (v5e): the in-kernel demod epilogue (polynomial
+        # atan2 on the VPU) serializes with the MXU dots inside the
+        # kernel body, while the split form's demod pipelines as its own
+        # XLA pass — the fused kernel's HBM savings (~250 MB/step at
+        # 1024 ch) only win past ~1k channels (512: 0.41 -> 0.68 ms
+        # against us; 1024: 1.23 -> 0.93 ms for us)
+        impl = ("pallas" if geom_ok and jax.default_backend() == "tpu"
+                and raw_u8.shape[0] >= 1024 else "split")
+    if impl == "pallas":
+        assert geom_ok, "ingest_fir_demod: geometry not Pallas-eligible"
+    if impl != "pallas":
+        y_i, y_q, zi_i_n, zi_q_n = ingest_fir_decimate(
+            raw_u8, h, zi_i, zi_q, decim, block=block)
+        fm, (pi, pq) = fm_discriminator(y_i, y_q, (prev_i, prev_q))
+        return fm, zi_i_n, zi_q_n, pi, pq
+
+    from rtsdr_tpu.ops.pallas_fir import tile_channels
+
+    c = raw_u8.shape[0]
+    tile_c = tile_channels(c)
+    head = 384
+    span_k = head + block * stride_raw
+    h_mat, s1 = _pallas_banded_h(h, block, stride_raw, head, span_k)
+
+    # j==0 boundary contribution of the carried zis (see
+    # _zi_boundary_and_tail), padded to the kernel's 128-output tile
+    nb = -(-t1 // decim)
+    hz = _boundary_hz(h, t1, decim, nb)
+    def bnd(zi):
+        b = jax.lax.dot_general(
+            zi.astype(jnp.float32), hz,
+            dimension_numbers=(((zi.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jnp.pad(b, ((0, 0), (0, 128 - nb)))
+
+    fm, s_out = _pallas_ingest_demod(
+        raw_u8, jnp.asarray(h_mat), bnd(zi_i), bnd(zi_q),
+        prev_i.astype(jnp.float32), prev_q.astype(jnp.float32),
+        stride_raw, block, tile_c, (head, span_k, 1.0 / (128.0 * s1)))
+
+    tail = raw_u8[..., -2 * t1:]
+    tail = (tail.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
+    return (fm, tail[..., 0::2], tail[..., 1::2],
+            s_out[:, 0], s_out[:, 1])
 
 
 def ingest_fir_decimate(
@@ -317,17 +547,22 @@ def ingest_fir_decimate(
                                  y_i, y_q)
 
 
-def _zi_boundary_and_tail(raw_u8, h, t1, decim, zi_i, zi_q, y_i, y_q):
-    """Add the carried-state contribution and extract the new tail."""
-    # zi boundary: outputs m < ceil(t1/decim) also read the carried tail
-    # (overlap-save index p = m*decim + t1 - k < t1  =>  k > m*decim)
-    nb = -(-t1 // decim)
+def _boundary_hz(h, t1, decim, nb):
+    """(nb, t1) matrix mapping the carried zi tail to the first nb
+    outputs' boundary contribution (overlap-save index
+    p = m*decim + t1 - k < t1  =>  k > m*decim)."""
     mz = np.arange(nb)[:, None]
     p = np.arange(t1)[None, :]
     kz = mz * decim + t1 - p
     validz = (kz >= 1) & (kz <= t1) & (p < t1) & (p >= mz * decim)
-    hz = jnp.asarray(np.where(validz, h[np.clip(kz, 0, t1)], 0.0),
-                     jnp.float32)
+    return jnp.asarray(np.where(validz, h[np.clip(kz, 0, t1)], 0.0),
+                       jnp.float32)
+
+
+def _zi_boundary_and_tail(raw_u8, h, t1, decim, zi_i, zi_q, y_i, y_q):
+    """Add the carried-state contribution and extract the new tail."""
+    nb = -(-t1 // decim)
+    hz = _boundary_hz(h, t1, decim, nb)
     dot = lambda zi: jax.lax.dot_general(
         zi.astype(jnp.float32), hz,
         dimension_numbers=(((zi.ndim - 1,), (1,)), ((), ())),

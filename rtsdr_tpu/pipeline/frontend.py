@@ -63,8 +63,16 @@ def make_frontend(cfg: ReceiverConfig, dtype=jnp.float32, impl: str = "auto"):
 
     def frontend(state: FrontendState, raw_u8: jax.Array):
         if impl == "fused":
-            i_ds, q_ds, zi_i, zi_q = ingest_fir_decimate(
-                raw_u8, rf_h, state.zi_i, state.zi_q, decim)
+            # single kernel: ingest + RF FIR + discriminator — the
+            # decimated I/Q streams never round-trip HBM (falls back to
+            # the split ops off the eligible Pallas geometry)
+            from rtsdr_tpu.ops.ingestfir import ingest_fir_demod
+
+            fm, zi_i, zi_q, pi, pq = ingest_fir_demod(
+                raw_u8, rf_h, state.zi_i, state.zi_q,
+                state.prev_i, state.prev_q, decim)
+            return fm, FrontendState(zi_i=zi_i, zi_q=zi_q,
+                                     prev_i=pi, prev_q=pq)
         else:
             if impl == "iq":
                 iq = raw_u8  # already float (..., 2, n)

@@ -82,3 +82,60 @@ def test_pallas_matches_s8_and_f32(rng):
     for k in (2, 3):
         assert np.array_equal(np.asarray(outs["pallas"][k]),
                               np.asarray(outs["f32"][k]))
+
+
+def test_kernel_atan2_matches_numpy():
+    """The Pallas polynomial atan2 vs np.arctan2 across quadrants, axes,
+    zeros (incl. the y=0, x<0 -> +pi convention) and magnitudes."""
+    from rtsdr_tpu.ops.ingestfir import _atan2
+
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal(20000).astype(np.float32) * \
+        10.0 ** rng.uniform(-6, 3, 20000).astype(np.float32)
+    x = rng.standard_normal(20000).astype(np.float32) * \
+        10.0 ** rng.uniform(-6, 3, 20000).astype(np.float32)
+    specials = np.array([[0, 0], [0, 1], [0, -1], [1, 0], [-1, 0],
+                         [1e-30, -1], [-1e-30, -1]], np.float32)
+    y = np.concatenate([y, specials[:, 0]])
+    x = np.concatenate([x, specials[:, 1]])
+    got = np.asarray(_atan2(jnp.asarray(y), jnp.asarray(x)))
+    ref = np.arctan2(y, x)
+    np.testing.assert_allclose(got, ref, atol=4e-6, rtol=0)
+    assert got[-7] == 0.0                       # atan2(0, 0)
+    assert got[-5] == np.float32(np.arctan2(0.0, -1.0))   # +pi
+
+
+def test_fused_demod_matches_split(rng):
+    """ingest_fir_demod (interpret-mode kernel) vs the split chain
+    (ingest + XLA atan2 discriminator), two chained blocks."""
+    from rtsdr_tpu.ops.demod import fm_discriminator
+    from rtsdr_tpu.ops.ingestfir import ingest_fir_demod
+
+    h = lowpass_taps(2.4e6, 100e3, 151)
+    c = 32
+    raw1 = rng.integers(0, 256, (c, 128 * 20 * 6), dtype=np.uint8)
+    raw2 = rng.integers(0, 256, (c, 128 * 20 * 6), dtype=np.uint8)
+    zi = rng.standard_normal((c, 150)).astype(np.float32)
+    zq = rng.standard_normal((c, 150)).astype(np.float32)
+    pi0 = jnp.ones((c,), jnp.float32)
+    pq0 = jnp.zeros((c,), jnp.float32)
+
+    a, b, pi, pq = zi, zq, pi0, pq0
+    fused = []
+    for raw in (raw1, raw2):
+        fm, a, b, pi, pq = ingest_fir_demod(jnp.asarray(raw), h, a, b,
+                                            pi, pq, 10, impl="pallas")
+        fused.append(np.asarray(fm))
+
+    a, b, st = jnp.asarray(zi), jnp.asarray(zq), (pi0, pq0)
+    split = []
+    for raw in (raw1, raw2):
+        yi, yq, a, b = ingest_fir_decimate(jnp.asarray(raw), h, a, b, 10,
+                                           impl="s8")
+        fm, st = fm_discriminator(yi, yq, st)
+        split.append(np.asarray(fm))
+
+    for f, s in zip(fused, split):
+        np.testing.assert_allclose(f, s, atol=5e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(pi), np.asarray(st[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pq), np.asarray(st[1]), atol=1e-6)
