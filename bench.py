@@ -85,16 +85,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    # operating points from the round-3 channel sweep: mono throughput
-    # saturates at 1024 channels (33.3k x vs 27.1k x at 256 — the kernels
-    # amortize better); the full chain is flat 512 -> 1024 (9.4k x), so
-    # keep the cheaper 512-channel measurement
+    # operating points from the round-3 channel sweeps: both chains peak
+    # at 1024 channels (the kernels amortize better, and the fused
+    # ingest+demod kernel engages at >=1024 — ops/ingestfir.py)
     mono = _bench_chain(1024, enable_rds=False, enable_stereo=False)
-    full = _bench_chain(512)  # mono+stereo+RDS+frame (Pallas PLL kernels)
+    full = _bench_chain(1024)  # mono+stereo+RDS+frame (Pallas PLL kernels)
     # fast mode: PLL loop-filter at 1/4 rate, bandwidth-preserving gains,
     # full-rate NCO (ops/pll.py loop_div) — same lock behavior, not
     # bit-identical to the golden model
-    fast = _bench_chain(512, pll_loop_div=4)
+    fast = _bench_chain(1024, pll_loop_div=4)
 
     result = {
         "metric": "mono_chain_realtime_multiple_per_chip",

@@ -197,6 +197,9 @@ def _print_rds_summary(decoder, prefix: str = "") -> None:
 
         name = ODA_NAMES.get(aid, f"AID 0x{aid:04X}")
         print(f"{prefix}RDS: ODA {name} in group {applied}", file=sys.stderr)
+    if decoder.rtplus:
+        tags = " ".join(f"{k}='{v}'" for k, v in sorted(decoder.rtplus.items()))
+        print(f"{prefix}RDS: RT+ {tags}", file=sys.stderr)
     for ev in decoder.tmc_events:
         print(f"{prefix}RDS: TMC {ev}", file=sys.stderr)
     for pi_on, on in sorted(decoder.eon.items()):

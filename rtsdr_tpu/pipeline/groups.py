@@ -22,6 +22,9 @@ Group layout (RDS standard, IEC 62106):
   10A:     Program Type Name segment in B[0]; blocks C+D = 4 PTYN chars
   14A:     EON: block D = PI(ON); variants 0-3 = PS(ON), 4 = AF(ON)
   15B:     fast basic tuning: TA/MS/DI flags only (B repeated in D)
+  RT+:     RadioText Plus tags (ODA 0x4BD7, RDS Forum R06/040_1) in
+           whatever group a 3A announced — artist/title/etc. spans of
+           the RadioText
 """
 
 from __future__ import annotations
@@ -80,6 +83,16 @@ class ClockTime:
 #  Registered Open Data Application IDs a tuner commonly meets (IEC 62106
 #  annex; used only for display — unknown AIDs still register).
 ODA_NAMES = {0xCD46: "RDS-TMC", 0x4BD7: "RadioText+", 0x6552: "eRT"}
+
+#  RadioText Plus (RT+, AID 0x4BD7) content types a tuner displays
+#  (RDS Forum R06/040_1 table; only the common ones named).
+RTPLUS_CONTENT = {
+    1: "ITEM.TITLE", 4: "ITEM.ARTIST", 2: "ITEM.ALBUM", 3: "ITEM.TRACK",
+    9: "ITEM.YEAR", 12: "ITEM.BAND", 24: "INFO.DATE_TIME",
+    31: "STATIONNAME.LONG", 32: "PROGRAMME.NOW", 33: "PROGRAMME.NEXT",
+    39: "PROGRAMME.HOMEPAGE", 41: "PHONE.HOTLINE", 46: "EMAIL.HOTLINE",
+    59: "PLACE",
+}
 
 
 @dataclass(frozen=True)
@@ -161,6 +174,9 @@ class GroupDecoder:
     oda: dict = field(default_factory=dict)       # group name -> AID (3A)
     tmc_events: list = field(default_factory=list)  # 8A single-group msgs
     eon: dict = field(default_factory=dict)       # PI(ON) -> EONStation
+    rtplus: dict = field(default_factory=dict)    # RT+ content -> text
+    rtplus_item_running: bool | None = None
+    _rtplus_toggle: int | None = None
     _af_lfmf_next: bool = False                   # code 250 seen: next
     #                                               code is an LF/MF number
     groups: list = field(default_factory=list)
@@ -313,7 +329,30 @@ class GroupDecoder:
             for k, ch in enumerate(((ic >> 8) & 0xFF, ic & 0xFF,
                                     (id_ >> 8) & 0xFF, id_ & 0xFF)):
                 self.ptyn[4 * seg + k] = chr(ch)
+        elif self.oda.get(g.name) == 0x4BD7:
+            self._decode_rtplus(ib, ic, id_)   # RadioText Plus tags
         return g
+
+    def _decode_rtplus(self, ib: int, ic: int, id_: int) -> None:
+        """RT+ (RDS Forum R06/040_1): two (content-type, start, length)
+        tags per group, indexing into the CURRENT RadioText — texts
+        refine as the RT buffer fills (tags repeat continuously)."""
+        toggle = (ib >> 4) & 1
+        if self._rtplus_toggle is not None and toggle != self._rtplus_toggle:
+            self.rtplus.clear()                # new item started
+        self._rtplus_toggle = toggle
+        self.rtplus_item_running = bool((ib >> 3) & 1)
+        tag1 = (((ib & 0x7) << 3) | (ic >> 13),
+                (ic >> 7) & 0x3F, (ic >> 1) & 0x3F)
+        tag2 = ((((ic & 1) << 5) | (id_ >> 11)),
+                (id_ >> 5) & 0x3F, id_ & 0x1F)
+        for t, s, ln in (tag1, tag2):
+            if t == 0:                         # type 0 = dummy
+                continue
+            name = RTPLUS_CONTENT.get(t, f"TYPE_{t}")
+            text = "".join(self.radiotext[s:s + ln + 1]).strip()
+            if text:
+                self.rtplus[name] = text
 
     @property
     def ps_name(self) -> str:

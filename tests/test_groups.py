@@ -68,6 +68,11 @@ _TMC_C = (1 << 15) | (0 << 14) | (2 << 11) | 401
 _TMC_D = 12345
 #  14A EON cross-reference: PI(ON) 0x2BEE, PS(ON) 'EON RDIO', AF 99.9 MHz.
 _EON_PI = 0x2BEE
+#  RT+ tags into radiotext 'MXU RDIO': ITEM.TITLE(1) = chars 0..2 'MXU',
+#  ITEM.ARTIST(4) = chars 4..7 'RDIO'; item-running set, toggle 0.
+_RTPLUS_B_LOW = (0 << 4) | (1 << 3) | ((1 >> 3) & 0x7)
+_RTPLUS_C = ((1 & 0x7) << 13) | (0 << 7) | (2 << 1) | ((4 >> 5) & 1)
+_RTPLUS_D = ((4 & 0x1F) << 11) | (4 << 5) | 3
 
 
 def _make_station_groups(n_groups, pi=0x3A5C, pty=5, ps="TPU RDIO",
@@ -103,6 +108,14 @@ def _make_station_groups(n_groups, pi=0x3A5C, pty=5, ps="TPU RDIO",
             b = (3 << 12) | (0 << 11) | (1 << 10) | (pty << 5) | _ODA_AGTC
             c = 0
             d = 0xCD46
+        elif g % 32 == 23:       # 3A: announce RT+ (0x4BD7) in 11A
+            b = (3 << 12) | (0 << 11) | (1 << 10) | (pty << 5) | (11 << 1)
+            c = 0
+            d = 0x4BD7
+        elif g % 32 in (24, 28):  # 11A: RT+ title/artist tags
+            b = (11 << 12) | (0 << 11) | (1 << 10) | (pty << 5) | _RTPLUS_B_LOW
+            c = _RTPLUS_C
+            d = _RTPLUS_D
         elif g % 16 == 14:       # 8A: single-group TMC user message
             #                      (X4=0 user msg, F=1 single group, DP=3)
             b = (8 << 12) | (0 << 11) | (1 << 10) | (pty << 5) | (1 << 3) | 3
@@ -139,9 +152,9 @@ def _make_station_groups(n_groups, pi=0x3A5C, pty=5, ps="TPU RDIO",
 
 @pytest.fixture(scope="module")
 def decoded_station():
-    # ~0.73 groups/block; 38 blocks ≈ 27 groups — enough to air the whole
-    # 32-group schedule incl. the 14A EON variants at g%32 in 17..25
-    n_blocks = 38
+    # ~0.73 groups/block; 41 blocks ≈ 29 groups — enough to air the whole
+    # 32-group schedule incl. EON (g%32 in 16..20) and RT+ (23..28)
+    n_blocks = 41
     words = _make_station_groups(40 * n_blocks)
     wave = rds_baseband(encode_rds_blocks(words))
     rng = np.random.default_rng(0x6A)
@@ -168,7 +181,8 @@ def test_groups_decode_pi_pty(decoded_station):
     for g in dec.groups:
         assert g.pi == 0x3A5C
         assert g.tp == 1
-        assert g.name in ("0A", "1A", "2A", "3A", "4A", "8A", "10A", "14A")
+        assert g.name in ("0A", "1A", "2A", "3A", "4A", "8A", "10A", "11A",
+                          "14A")
     line = format_group(dec.groups[0])
     assert "PI=0x3A5C" in line and "PTY=Rock" in line
 
@@ -216,7 +230,7 @@ def test_groups_decode_oda_and_tmc(decoded_station):
     """3A registers the TMC AID against group 8A; the 8A single-group
     user message decodes to its ALERT-C fields."""
     dec = decoded_station
-    assert dec.oda == {"8A": 0xCD46}
+    assert dec.oda.get("8A") == 0xCD46
     assert len(dec.tmc_events) >= 1
     ev = dec.tmc_events[0]
     assert (ev.event, ev.location) == (401, 12345)
@@ -224,6 +238,15 @@ def test_groups_decode_oda_and_tmc(decoded_station):
     assert str(ev) == "event 401 at loc 12345 ext +2 divert"
     # repeats of the same message are not duplicated
     assert len(dec.tmc_events) == len(set(dec.tmc_events))
+
+
+def test_groups_decode_rtplus(decoded_station):
+    """3A announces RT+ in 11A; the 11A tags index title/artist spans
+    of the assembled RadioText."""
+    dec = decoded_station
+    assert dec.oda.get("11A") == 0x4BD7
+    assert dec.rtplus == {"ITEM.TITLE": "MXU", "ITEM.ARTIST": "RDIO"}
+    assert dec.rtplus_item_running is True
 
 
 def test_groups_decode_eon(decoded_station):
