@@ -168,7 +168,7 @@ def _print_rds_summary(decoder, prefix: str = "") -> None:
     """Final decoded-payload summary lines (PI/PTY/PS/RT, AF list, CT)."""
     if decoder.pi is None:
         return
-    from rtsdr_tpu.pipeline.groups import PTY_NAMES
+    from rtsdr_tpu.pipeline.groups import ODA_NAMES, PTY_NAMES
 
     pty = PTY_NAMES[decoder.pty] if PTY_NAMES[decoder.pty] \
         else str(decoder.pty)
@@ -193,8 +193,6 @@ def _print_rds_summary(decoder, prefix: str = "") -> None:
     if decoder.pin is not None:
         print(f"{prefix}RDS: PIN {decoder.pin}", file=sys.stderr)
     for applied, aid in sorted(decoder.oda.items()):
-        from rtsdr_tpu.pipeline.groups import ODA_NAMES
-
         name = ODA_NAMES.get(aid, f"AID 0x{aid:04X}")
         print(f"{prefix}RDS: ODA {name} in group {applied}", file=sys.stderr)
     if decoder.rtplus:

@@ -37,6 +37,34 @@ def _two_level_s8(h: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
     return h_hi, h_lo, s1
 
 
+def _pick_block(block, stride_raw: int) -> int:
+    """Default banded sub-block width: 64 outputs (the measured sweet
+    spot — see ingest_fir_decimate) when the 384-byte look-back fits
+    within one sub-block's input stride, else the full 128-lane tile
+    (small decimations: 64*stride < 384 would be Pallas-ineligible)."""
+    if block is not None:
+        return block
+    return 64 if 64 * stride_raw >= 384 else 128
+
+
+def _pallas_geom_ok(raw_u8, block: int, stride_raw: int, t1: int,
+                    halo: bool) -> bool:
+    """Shared Pallas-kernel eligibility for the fused ingest paths
+    (ingest_fir_decimate / ingest_fir_demod): 128-lane output tiles,
+    sub-blocks able to cover the 384-byte look-back, carried tail within
+    the head, and an aligned look-back ref width."""
+    m_total = (raw_u8.shape[-1] - (2 * t1 if halo else 0)) // stride_raw
+    bb = 128 * stride_raw
+    return (not halo and raw_u8.ndim == 2
+            and raw_u8.shape[0] % 32 == 0
+            and m_total % 128 == 0
+            and 128 % block == 0
+            and (block == 128 or block * stride_raw >= 384)
+            and 2 * t1 <= 384
+            and any(w >= 384 and bb % w == 0
+                    for w in range(128, bb + 1, 128)))
+
+
 def _pallas_banded_h(h: np.ndarray, block: int, stride_raw: int,
                      head: int, span_k: int) -> tuple[np.ndarray, float]:
     """Banded two-level s8 filter matrix in kernel window coordinates.
@@ -256,8 +284,10 @@ def _pallas_ingest(raw_u8, h_mat, stride_raw: int, block: int,
 def _pallas_ingest_demod(raw_u8, h_mat, bnd_i, bnd_q, prev_i, prev_q,
                          stride_raw: int, block: int, tile_c: int,
                          params) -> tuple[jax.Array, jax.Array]:
-    """uint8 (c, n) -> (fm (c, n//stride), s_out (8, c)): fused ingest +
-    RF FIR + FM discriminator.  s_out rows 0/1 = the block's last i/q."""
+    """uint8 (c, n) -> (fm (c, n//stride), s_out (c, 128)): fused ingest
+    + RF FIR + FM discriminator.  s_out LANE 0 / LANE 1 hold the block's
+    last i / q per channel (read them as s_out[:, 0] / s_out[:, 1]);
+    the remaining lanes are unread junk from the kernel's lane-rotate."""
     head, span_k, inv_scale = params
     out_tile = 128
     c, n = raw_u8.shape
@@ -322,7 +352,7 @@ def ingest_fir_demod(
     prev_i: jax.Array,
     prev_q: jax.Array,
     decim: int,
-    block: int = 64,
+    block: int | None = None,
     impl: str = "auto",
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused uint8 ingest + RF FIR + exact FM discriminator.
@@ -343,14 +373,8 @@ def ingest_fir_demod(
     taps = h.shape[0]
     t1 = taps - 1
     stride_raw = 2 * decim
-    m_total = raw_u8.shape[-1] // stride_raw
-    bb = 128 * stride_raw
-    geom_ok = (raw_u8.ndim == 2 and raw_u8.shape[0] % 32 == 0
-               and m_total % 128 == 0 and 128 % block == 0
-               and (block == 128 or block * stride_raw >= 384)
-               and 2 * t1 <= 384
-               and any(w >= 384 and bb % w == 0
-                       for w in range(128, bb + 1, 128)))
+    block = _pick_block(block, stride_raw)
+    geom_ok = _pallas_geom_ok(raw_u8, block, stride_raw, t1, halo=False)
     if impl == "auto":
         # interleaved A/B (v5e): the in-kernel demod epilogue (polynomial
         # atan2 on the VPU) serializes with the MXU dots inside the
@@ -404,7 +428,7 @@ def ingest_fir_decimate(
     zi_i: jax.Array,
     zi_q: jax.Array,
     decim: int,
-    block: int = 64,
+    block: int | None = None,
     halo: bool = False,
     impl: str = "auto",
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -416,10 +440,12 @@ def ingest_fir_decimate(
     ``block``: banded sub-block width (outputs per banded matmul).  The
     padded-FLOP count of the banded-Toeplitz trick is span/taps, so
     narrower blocks waste fewer MXU FLOPs; the Pallas kernel still writes
-    128-lane output tiles as ``128/block`` sub-dots.  64 measured fastest
-    on v5e (~12% over 128 at 512-1024 channels; 32 pays more grid/epilogue
-    overhead than it saves); outputs are bitwise identical across block
-    sizes (integer-exact s8 accumulation).
+    128-lane output tiles as ``128/block`` sub-dots.  Default (None):
+    64 where the look-back fits a sub-block stride — measured fastest on
+    v5e (~12% over 128 at 512-1024 channels; 32 pays more grid/epilogue
+    overhead than it saves) — else 128 (small decimations would otherwise
+    silently lose Pallas eligibility).  Outputs are bitwise identical
+    across block sizes (integer-exact s8 accumulation).
 
     ``halo=True``: the first ``2*(taps-1)`` bytes of ``raw_u8`` are a REAL
     left halo (the preceding chunk's tail) instead of the implicit 128-pad
@@ -434,6 +460,7 @@ def ingest_fir_decimate(
     taps = h.shape[0]
     t1 = taps - 1
     stride_raw = 2 * decim
+    block = _pick_block(block, stride_raw)
     n_raw = raw_u8.shape[-1] - (2 * t1 if halo else 0)
     n = n_raw // 2
     assert n % decim == 0
@@ -442,15 +469,7 @@ def ingest_fir_decimate(
 
     on_tpu = jax.default_backend() == "tpu"
     if impl == "auto":
-        bb = 128 * stride_raw  # kernel output tile is 128 (Mosaic lanes)
-        pallas_ok = (not halo and raw_u8.ndim == 2
-                     and raw_u8.shape[0] % 32 == 0
-                     and m_total % 128 == 0
-                     and 128 % block == 0
-                     and (block == 128 or block * stride_raw >= 384)
-                     and 2 * t1 <= 384
-                     and any(w >= 384 and bb % w == 0
-                             for w in range(128, bb + 1, 128)))
+        pallas_ok = _pallas_geom_ok(raw_u8, block, stride_raw, t1, halo)
         impl = ("pallas" if on_tpu and pallas_ok
                 else "s8" if on_tpu else "f32")
 

@@ -222,7 +222,11 @@ def make_time_sharded_receiver(
                 dth64 = (2.0 * math.pi * np.float64(params["freq"])
                          / np.float64(params["fs"]))
                 adv_tab = np.mod(dth64 * np.arange(T) * n_c, 4.0 * math.pi)
-                ns_tab = np.arange(T, dtype=np.float64) * n_c
+                # the loop filter adds the integrator once per loop_div
+                # samples (ops/pll.py), so the locked phase slope over
+                # n samples is (n/loop_div)*integrator
+                ns_tab = (np.arange(T, dtype=np.float64) * n_c
+                          / params.get("loop_div", 1))
                 seed = pll_extrapolate_by(
                     pll_state,
                     jnp.asarray(adv_tab, dtype)[t_id],

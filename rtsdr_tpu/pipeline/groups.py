@@ -177,6 +177,7 @@ class GroupDecoder:
     rtplus: dict = field(default_factory=dict)    # RT+ content -> text
     rtplus_item_running: bool | None = None
     _rtplus_toggle: int | None = None
+    _tmc_seen: set = field(default_factory=set)
     _af_lfmf_next: bool = False                   # code 250 seen: next
     #                                               code is an LF/MF number
     groups: list = field(default_factory=list)
@@ -282,16 +283,22 @@ class GroupDecoder:
             agtc = ib & 0x1F             # applied group: type<<1 | version
             applied = f"{agtc >> 1}{'B' if agtc & 1 else 'A'}"
             self.oda[applied] = id_      # block D = Application ID
-        elif g.group_type == 8 and g.version == 0:
-            # ALERT-C: decode only single-group user messages
-            # (X4=0 user message, F=1 single group, ISO 14819-1 §5.3)
+        elif (g.group_type == 8 and g.version == 0
+              and self.oda.get("8A", 0xCD46) == 0xCD46):
+            # ALERT-C (8A is TMC by convention unless a 3A announced a
+            # different ODA for it): decode only single-group user
+            # messages (X4=0 user message, F=1 single group, ISO
+            # 14819-1 §5.3).  Repeats dedupe via a seen-set (stations
+            # cycle their active message set continuously), capped so a
+            # long-running session stays bounded.
             if (ib >> 4) & 1 == 0 and (ib >> 3) & 1 == 1:
                 ev = TMCEvent(event=ic & 0x7FF, location=id_,
                               extent=(ic >> 11) & 0x7,
                               direction=(ic >> 14) & 1,
                               diversion=(ic >> 15) & 1,
                               duration=ib & 0x7)
-                if not self.tmc_events or self.tmc_events[-1] != ev:
+                if ev not in self._tmc_seen and len(self.tmc_events) < 256:
+                    self._tmc_seen.add(ev)
                     self.tmc_events.append(ev)
         elif g.group_type == 14 and g.version == 0:
             on = self.eon.setdefault(id_, EONStation())  # block D = PI(ON)

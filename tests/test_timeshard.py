@@ -208,3 +208,45 @@ def test_concurrent_pll_handoff_converges_to_serial(handoff, snr_floor_db):
                      [0, : int(outs[b].rds.n_windows[0])].sum())
                  for b in range(n_blocks - 2, n_blocks))
     assert n_sync > 0, f"no RDS frame syncs under {handoff} PLL handoff"
+
+
+def test_iterate_handoff_with_loop_div_detuned():
+    """Regression: the concurrent-handoff seed extrapolation must scale
+    the integrator slope by 1/loop_div (the loop filter updates once per
+    loop_div samples) — with a detuned pilot (integrator != 0) a
+    full-rate slope would mis-seed every shard.  iterate + loop_div=4 on
+    a +60 Hz-detuned station must stay float32-exact vs the serial
+    receiver built with the same loop_div."""
+    from oracles import encode_rds_blocks, rds_baseband
+
+    n_blocks = 4
+    rng = np.random.default_rng(11)
+    bits = encode_rds_blocks(rng.integers(0, 2, size=(40 * n_blocks, 16)))
+    raw = synth_multiplex_iq(n_blocks * MODE0.block_size // 2,
+                             rds_wave=rds_baseband(bits),
+                             pilot_hz=19e3 + 60.0, rng=rng)
+    bs = MODE0.block_size
+
+    init_fn, step_fn = make_receiver(MODE0, (1,), jnp.float32,
+                                     pll_loop_div=4)
+    st = init_fn()
+    step = jax.jit(step_fn)
+    ser = []
+    for b in range(n_blocks):
+        st, out = step(st, jnp.asarray(raw[b * bs:(b + 1) * bs][None]))
+        ser.append(np.asarray(out.left[0]))
+
+    mesh = make_mesh(1, 4)
+    ifn, sfn = make_time_sharded_receiver(MODE0, mesh, 1, jnp.float32,
+                                          pll_handoff="iterate",
+                                          pll_loop_div=4)
+    s = ifn()
+    for b in range(n_blocks):
+        s, out = sfn(s, jnp.asarray(raw[b * bs:(b + 1) * bs][None]))
+        if b == 0:
+            continue  # acquisition
+        got = np.asarray(out.left[0])
+        err = np.sqrt(np.mean((got - ser[b]) ** 2))
+        sig = np.sqrt(np.mean(ser[b] ** 2))
+        snr_db = 20 * np.log10(sig / max(err, 1e-30))
+        assert snr_db > 60, f"block {b}: SNR {snr_db:.1f} dB"
