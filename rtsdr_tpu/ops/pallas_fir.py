@@ -128,15 +128,33 @@ def tile_channels(c: int) -> int:
     return 0
 
 
+def _bank_block(stride: int, m: int, taps: int) -> int:
+    """Default output-block width for the fused FIR bank.
+
+    stride==1: prefer 512 outputs per grid step — at 1024 channels the
+    3-filter IF bank runs 0.43 vs 0.66 ms with the old 256 (fewer grid
+    steps; the per-step overhead dominated), neutral at 128-512 ch —
+    falling back through the candidates until one divides the output
+    length and is hw-aligned (mode-1's if_len=16000 matches none and
+    keeps the XLA path, as before)."""
+    hw = -(-(taps - 1) // 128) * 128
+    if stride == 1:
+        for b in (512, 256):
+            if m % b == 0 and b % hw == 0:
+                return b
+        return 256
+    return 128
+
+
 def eligible(x, taps: int, stride: int, block: int | None = None) -> bool:
     """Shapes the fused kernel handles; callers fall back to XLA else."""
     if x.ndim != 2 or x.dtype != jnp.float32 or taps < 2:
         return False
-    block = block or (256 if stride == 1 else 128)
     c, n = x.shape
     if not tile_channels(c) or n % stride:
         return False
     m = n // stride
+    block = block or _bank_block(stride, m, taps)
     a_w = block * stride
     hw = -(-(taps - 1) // 128) * 128
     return m % block == 0 and a_w % hw == 0 and a_w % 128 == 0
@@ -431,10 +449,15 @@ def fir_bank(x, h_list, stride: int = 1, x2=None, pre: str = "none",
     """
     taps = len(h_list[0])
     assert all(len(h) == taps for h in h_list)
-    block = block or (256 if stride == 1 else 128)
+    c, n = x.shape
+    block = block or _bank_block(stride, n // stride, taps)
     hw = -(-(taps - 1) // 128) * 128
     h_mat = jnp.asarray(_banded_h(h_list, block, stride, hw),
                         jnp.bfloat16)
-    c = x.shape[0]
+    # wider channel tiles pair with the wider blocks (fewer grid steps;
+    # measured with the 512-block sweep) — bank-only, the ingest kernel
+    # keeps its own tuned tiling
+    tile = tile or (256 if c % 256 == 0 and block >= 512
+                    else tile_channels(c))
     return _pallas_fir(x, x if x2 is None else x2, h_mat, stride, block,
-                       tile or tile_channels(c), hw, pre)
+                       tile, hw, pre)
