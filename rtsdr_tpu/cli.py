@@ -195,6 +195,8 @@ def _print_rds_summary(decoder, prefix: str = "") -> None:
     for applied, aid in sorted(decoder.oda.items()):
         name = ODA_NAMES.get(aid, f"AID 0x{aid:04X}")
         print(f"{prefix}RDS: ODA {name} in group {applied}", file=sys.stderr)
+    if decoder.ert_str:
+        print(f"{prefix}RDS: eRT '{decoder.ert_str}'", file=sys.stderr)
     if decoder.rtplus:
         tags = " ".join(f"{k}='{v}'" for k, v in sorted(decoder.rtplus.items()))
         print(f"{prefix}RDS: RT+ {tags}", file=sys.stderr)

@@ -128,22 +128,24 @@ def tile_channels(c: int) -> int:
     return 0
 
 
-def _bank_block(stride: int, m: int, taps: int) -> int:
+def _bank_block(stride: int, m: int, taps: int, c: int) -> int:
     """Default output-block width for the fused FIR bank.
 
-    stride==1: prefer 512 outputs per grid step — at 1024 channels the
-    3-filter IF bank runs 0.43 vs 0.66 ms with the old 256 (fewer grid
-    steps; the per-step overhead dominated), neutral at 128-512 ch —
-    falling back through the candidates until one divides the output
-    length and is hw-aligned (mode-1's if_len=16000 matches none and
-    keeps the XLA path, as before)."""
+    Prefer 512 outputs per grid step where measured faster (fewer grid
+    steps; the per-step overhead dominates these sub-microsecond dots):
+    stride==1 at any channel count (1024 ch: 0.43 vs 0.66 ms, neutral at
+    128-512), decimating banks only at >=1024 channels (1024 ch: 0.27 vs
+    0.40 ms; at 512 ch the narrow 128 block is fastest) — falling back
+    through the candidates until one divides the output length and is
+    hw-aligned (mode-1's if_len=16000 matches none and keeps the XLA
+    path, as before)."""
     hw = -(-(taps - 1) // 128) * 128
-    if stride == 1:
-        for b in (512, 256):
-            if m % b == 0 and b % hw == 0:
-                return b
-        return 256
-    return 128
+    cands = ((512, 256) if stride == 1
+             else (512, 256, 128) if c >= 1024 else (128,))
+    for b in cands:
+        if m % b == 0 and (b * stride) % hw == 0 and (b * stride) % 128 == 0:
+            return b
+    return 256 if stride == 1 else 128
 
 
 def eligible(x, taps: int, stride: int, block: int | None = None) -> bool:
@@ -154,7 +156,7 @@ def eligible(x, taps: int, stride: int, block: int | None = None) -> bool:
     if not tile_channels(c) or n % stride:
         return False
     m = n // stride
-    block = block or _bank_block(stride, m, taps)
+    block = block or _bank_block(stride, m, taps, c)
     a_w = block * stride
     hw = -(-(taps - 1) // 128) * 128
     return m % block == 0 and a_w % hw == 0 and a_w % 128 == 0
@@ -450,12 +452,12 @@ def fir_bank(x, h_list, stride: int = 1, x2=None, pre: str = "none",
     taps = len(h_list[0])
     assert all(len(h) == taps for h in h_list)
     c, n = x.shape
-    block = block or _bank_block(stride, n // stride, taps)
+    block = block or _bank_block(stride, n // stride, taps, c)
     hw = -(-(taps - 1) // 128) * 128
     h_mat = jnp.asarray(_banded_h(h_list, block, stride, hw),
                         jnp.bfloat16)
     # wider channel tiles pair with the wider blocks (fewer grid steps;
-    # measured with the 512-block sweep) — bank-only, the ingest kernel
+    # measured with the 512-block sweeps) — bank-only, the ingest kernel
     # keeps its own tuned tiling
     tile = tile or (256 if c % 256 == 0 and block >= 512
                     else tile_channels(c))

@@ -176,6 +176,7 @@ class GroupDecoder:
     eon: dict = field(default_factory=dict)       # PI(ON) -> EONStation
     rtplus: dict = field(default_factory=dict)    # RT+ content -> text
     rtplus_item_running: bool | None = None
+    ert_bytes: list = field(default_factory=lambda: [0] * 128)  # eRT
     _rtplus_toggle: int | None = None
     _tmc_seen: set = field(default_factory=set)
     _af_lfmf_next: bool = False                   # code 250 seen: next
@@ -338,6 +339,14 @@ class GroupDecoder:
                 self.ptyn[4 * seg + k] = chr(ch)
         elif self.oda.get(g.name) == 0x4BD7:
             self._decode_rtplus(ib, ic, id_)   # RadioText Plus tags
+        elif self.oda.get(g.name) == 0x6552:
+            # eRT (enhanced RadioText): B[4:0] = segment, C+D = 4 bytes
+            # of UTF-8 (the common encoding; a 3A message bit can select
+            # UCS-2 — stored as raw bytes either way, decoded in ert_str)
+            seg = ib & 0x1F
+            for k, byte in enumerate(((ic >> 8) & 0xFF, ic & 0xFF,
+                                      (id_ >> 8) & 0xFF, id_ & 0xFF)):
+                self.ert_bytes[4 * seg + k] = byte
         return g
 
     def _decode_rtplus(self, ib: int, ic: int, id_: int) -> None:
@@ -372,6 +381,12 @@ class GroupDecoder:
     @property
     def ptyn_str(self) -> str:
         return "".join(self.ptyn).strip()
+
+    @property
+    def ert_str(self) -> str:
+        """Enhanced RadioText decoded as UTF-8 (trailing NULs stripped)."""
+        raw = bytes(self.ert_bytes).rstrip(b"\x00")
+        return raw.decode("utf-8", errors="replace").rstrip()
 
 
 def format_group(g: Group) -> str:

@@ -300,3 +300,33 @@ def test_seam_duplicate_windows_not_double_counted(decoded_station):
     # groups are 104 bits apart when decoding is continuous
     deltas = np.diff(positions)
     assert np.all(deltas % 26 == 0)
+
+
+def test_groups_decode_ert():
+    """eRT (ODA 0x6552): UTF-8 RadioText in the announced group,
+    4 bytes per segment — exercised directly at the assembler level
+    (multi-byte characters across segment boundaries)."""
+    dec = GroupDecoder()
+
+    def push(ia, ib, ic, id_, base):
+        for k, (sid, info) in enumerate(((1, ia), (2, ib), (3, ic),
+                                         (4, id_))):
+            dec._window.append((base + 26 * k, sid, info))
+            dec._window = dec._window[-8:]
+        dec._last_pos = base + 78
+        return dec._try_assemble()
+
+    pi, pty = 0x3A5C, 5
+    base = 0
+    g = push(pi, (3 << 12) | (1 << 10) | (pty << 5) | (12 << 1), 0,
+             0x6552, base)
+    assert g is not None and dec.oda == {"12A": 0x6552}
+
+    payload = "Ünïcode!".encode("utf-8")
+    payload += b"\x00" * (-len(payload) % 4)
+    for seg in range(len(payload) // 4):
+        base += 104
+        by = payload[4 * seg:4 * seg + 4]
+        push(pi, (12 << 12) | (1 << 10) | (pty << 5) | seg,
+             (by[0] << 8) | by[1], (by[2] << 8) | by[3], base)
+    assert dec.ert_str == "Ünïcode!"
