@@ -249,8 +249,14 @@ def _resample_geom(n: int, up: int, down: int, t1: int,
                 continue
             if (h_w + a_w) * bp * 2 > max_h_bytes:
                 continue
-            # total MXU work ~ nblk * K * padded-out-width
-            cost = (m // b) * (h_w + a_w) * bp
+            # total MXU work ~ nblk * K * padded-out-width, plus a
+            # per-grid-step overhead term: these dots are ~1 us of MXU
+            # work each, so step count matters as much as FLOPs
+            # (measured on the RDS x19/80 resampler: block 608 runs
+            # 1.24 vs 1.47 ms at 1024 ch / 1.14 vs 1.35 at 256 ch over
+            # the pure-FLOP choice 304; blocks past the VMEM cap
+            # regress).  1<<20 cost units ~ one step's overhead.
+            cost = (m // b) * ((h_w + a_w) * bp + (1 << 20))
             if best is None or cost < best[0]:
                 best = (cost, b, a_w, h_w)
     return best[1:] if best else None
