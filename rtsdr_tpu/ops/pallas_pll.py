@@ -197,6 +197,135 @@ def _kernel_v4(*refs, chunk, kq, ki, delayed, part_rows, loop_div=1):
         s_out_ref[7, :] = integ
 
 
+def _kernel_v6(*refs, chunk, kq, ki, delayed, part_rows, loop_div=1):
+    """Wide-lane variant of v4: all data-parallel work runs as full
+    (chunk, C) 2-D passes before/after the sequential loop.
+
+    At >=1024 lanes the v4 loop is ISSUE-bound, not latency-bound: every
+    per-step 1-D op spans C/128 vector registers, so the ~18 off-chain
+    ops per step no longer hide in the recurrence's latency bubbles.
+    Here the detector prep (sign/gain/wrap-offset), the NCO ramp and the
+    cos/sin synthesis are 2-D elementwise passes over VMEM scratch, and
+    the loop body touches only the 6-op critical chain plus row
+    reads/stores — ~2x fewer in-loop vector ops.  Same math and carries
+    as v4 (the deferred mod-4pi trick wraps the stored phase rows in the
+    post-pass).
+
+    Scratch: wt holds the time-major input transpose, then is
+    overwritten by the detector offsets W; ni/nq hold the per-step gains
+    A=m*ki / B=m*kq during the loop, then the NCO cos/sin after it; thj
+    holds the NCO ramp; ph collects the phase rows.
+    """
+    n_p = len(part_rows)
+    x_refs = refs[:n_p]
+    (p_ref, s_ref, ni_ref, nq_ref, s_out_ref, carry,
+     wt, thj, ph, ni, nq) = refs[n_p:]
+    first = pl.program_id(0) == 0
+    c = wt.shape[1]
+
+    @pl.when(first)
+    def _():
+        carry[0, :] = s_ref[0, :]
+        carry[1, :] = s_ref[1, :]
+        carry[2, :] = s_ref[5, :]
+        carry[3, :] = s_ref[6, :]
+
+    off = 0
+    for xr, rows_n in zip(x_refs, part_rows):
+        wt[:, off:off + rows_n] = xr[...].T
+        off += rows_n
+    integ0, phase0 = carry[0, :], carry[1, :]
+    nco_i0, nco_q0 = carry[2, :], carry[3, :]
+    if kq is None:
+        kq_v, ki_v = s_ref[2, :], s_ref[3, :]
+    else:
+        kq_v, ki_v = kq, ki
+    dth = s_ref[7, :]
+    scale_v = s_ref[8, :]
+    adjust_v = s_ref[9, :]
+    ovr = s_ref[4, :]
+    f_first = jnp.float32(first)
+
+    # ---- pre-pass: (chunk, C) elementwise ----
+    riota = jax.lax.broadcasted_iota(jnp.int32, (chunk, c), 0)
+    r8 = (riota % 8).astype(jnp.float32)
+    p = p_ref[...]
+    pfull = jnp.broadcast_to(p[:, None, :], (chunk // 8, 8, c)
+                             ).reshape(chunk, c)
+    tp = pfull + r8 * dth
+    tp = tp - _FOUR_PI * jnp.floor(tp * (1.0 / _FOUR_PI))
+    fmask = f_first * (riota == 0).astype(jnp.float32)
+    tp = fmask * ovr + (1.0 - fmask) * tp
+    x2 = wt[...]
+    s = jnp.sign(x2)
+    m = s * s
+    wt[...] = (_PI * 0.5) * (1.0 - s) - tp
+    ni[...] = m * ki_v
+    nq[...] = m * kq_v
+    t2 = pfull + (r8 + 1.0) * dth
+    thj[...] = t2 - _FOUR_PI * jnp.floor(t2 * (1.0 / _FOUR_PI))
+
+    def body(g, car):
+        integ, phase = car
+        base = pl.multiple_of(g * 8, 8)
+        wb = wt[pl.ds(base, 8), :]
+        ab = ni[pl.ds(base, 8), :]
+        bb = nq[pl.ds(base, 8), :]
+        rows = []
+        for r in range(8):
+            # loop_div: the recurrence fires only every loop_div-th
+            # sample (r is a Python constant in this unroll; loop_div
+            # divides 8 so base+r ≡ r mod loop_div); skipped rows hold
+            # the phase — exactly v4's semantics
+            if r % loop_div == 0:
+                pi_pre = phase + integ
+                z = wb[r, :] - phase
+                rr = jnp.round(z * _INV_TWO_PI)
+                t = z - _TWO_PI * rr
+                integ = integ + ab[r, :] * t
+                phase = pi_pre + bb[r, :] * t
+            rows.append(phase)
+        ph[pl.ds(base, 8), :] = jnp.stack(rows)
+        return (integ, jnp.mod(phase, _FOUR_PI))
+
+    integ, phase = jax.lax.fori_loop(0, chunk // 8, body, (integ0, phase0))
+
+    # ---- post-pass: (chunk, C) elementwise ----
+    phm = ph[...]
+    phm = phm - _FOUR_PI * jnp.floor(phm * (1.0 / _FOUR_PI))
+    na = (thj[...] + phm) * scale_v + adjust_v
+    i_new = jnp.cos(na)
+    q_new = jnp.sin(na)
+    ni[...] = i_new
+    nq[...] = q_new
+    last_i = ni[chunk - 1, :]
+    last_q = nq[chunk - 1, :]
+    if delayed:
+        row0 = (riota == 0).astype(jnp.float32)
+        i_out = row0 * nco_i0 + (1.0 - row0) * pltpu.roll(i_new, 1, 0)
+        q_out = row0 * nco_q0 + (1.0 - row0) * pltpu.roll(q_new, 1, 0)
+    else:
+        i_out, q_out = i_new, q_new
+    ni_ref[...] = i_out.T
+    nq_ref[...] = q_out.T
+
+    carry[0, :] = integ
+    carry[1, :] = phase
+    carry[2, :] = last_i
+    carry[3, :] = last_q
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        s_out_ref[0, :] = integ
+        s_out_ref[1, :] = phase
+        s_out_ref[2, :] = last_i
+        s_out_ref[3, :] = last_q
+        s_out_ref[4, :] = integ
+        s_out_ref[5, :] = integ
+        s_out_ref[6, :] = integ
+        s_out_ref[7, :] = integ
+
+
 def _kernel_theta(x_ref, s_ref, arg_ref, s_out_ref, carry, *, chunk):
     """Legacy kernel with theta in the loop (arbitrary per-lane dtheta).
 
@@ -383,13 +512,15 @@ def pll_pallas(
     return nco_i, nco_q, new_state
 
 
-def _v4_chunk(n: int, c: int) -> int | None:
-    """Largest VMEM-fitting v4 chunk: divides n, multiple of 128 (the
+def _v4_chunk(n: int, c: int, wide: bool = False) -> int | None:
+    """Largest VMEM-fitting v4/v6 chunk: divides n, multiple of 128 (the
     channel-major (C, chunk) blocks put time in lanes).  None if n has
     no 128-multiple divisor — the caller falls back to the legacy
-    kernel.  VMEM: ~9 (chunk, C) f32 buffers (x + 2 outs
-    double-buffered, 3 scratches, transpose working set) under ~9 MB."""
-    cap = min(512, max(128, (9 * 1024 * 1024) // (36 * c) // 128 * 128))
+    kernel.  VMEM: ~9 (chunk, C) f32 buffers for v4 (x + 2 outs
+    double-buffered, 3 scratches, transpose working set) under ~9 MB;
+    the wide kernel carries 2 more scratch planes."""
+    bufs = 44 if wide else 36
+    cap = min(512, max(128, (9 * 1024 * 1024) // (bufs * c) // 128 * 128))
     return next((s for s in range(min(cap, n), 127, -128)
                  if n % s == 0 and s % 128 == 0), None)
 
@@ -457,11 +588,31 @@ def _call_v4(x2d_parts, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
     s_in = jnp.concatenate(
         [jnp.stack(rows), jnp.zeros((6, c), dtype)], axis=0)
 
-    chunk = _v4_chunk(n, c)
+    # v6 (RTSDR_PLL_WIDE=1): hoists the data-parallel prep/trig into 2-D
+    # passes around a minimal loop.  Measured on-chip at 2048 lanes:
+    # bitwise-identical to v4 and only ~2% faster — the 6-op critical
+    # chain itself spans C/128 vregs per op, so past ~1024 lanes the
+    # CHAIN is the issue bound (6 x 16 vregs x 15360 steps ~ 1.6 ms at
+    # 2048 lanes); stripping the off-chain work doesn't move it.  Kept
+    # opt-in as the experimental record; loop_div is the lever that
+    # actually shortens the chain.
+    import os
 
-    kern = partial(_kernel_v4, chunk=chunk, kq=kq, ki=ki,
-                   delayed=delay_output, part_rows=part_rows,
-                   loop_div=loop_div)
+    wide = os.environ.get("RTSDR_PLL_WIDE") == "1"
+    chunk = _v4_chunk(n, c, wide=wide)
+
+    if wide:
+        kern = partial(_kernel_v6, chunk=chunk, kq=kq, ki=ki,
+                       delayed=delay_output, part_rows=part_rows,
+                       loop_div=loop_div)
+        scratch = [pltpu.VMEM((8, c), dtype)] + \
+            [pltpu.VMEM((chunk, c), dtype) for _ in range(5)]
+    else:
+        kern = partial(_kernel_v4, chunk=chunk, kq=kq, ki=ki,
+                       delayed=delay_output, part_rows=part_rows,
+                       loop_div=loop_div)
+        scratch = [pltpu.VMEM((8, c), dtype)] + \
+            [pltpu.VMEM((chunk, c), dtype) for _ in range(3)]
     ni, nq, s_out = pl.pallas_call(
         kern,
         grid=(n // chunk,),
@@ -488,10 +639,7 @@ def _call_v4(x2d_parts, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
             jax.ShapeDtypeStruct((c, n), dtype),
             jax.ShapeDtypeStruct((8, c), dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((8, c), dtype),
-                        pltpu.VMEM((chunk, c), dtype),
-                        pltpu.VMEM((chunk, c), dtype),
-                        pltpu.VMEM((chunk, c), dtype)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*x2d_parts, p_seq, s_in)
 

@@ -292,3 +292,63 @@ def test_loop_div_locks_on_detuned_pilot(div):
     c = np.mean(a * np.exp(-2j * np.pi * (2 * f_in) * tt))
     assert np.abs(c) > 0.47, (
         f"div={div}: lock coherence {np.abs(c):.3f} (0.5 = perfect)")
+
+
+@pytest.mark.parametrize("div", [1, 2])
+def test_wide_kernel_matches_scan(div, monkeypatch):
+    """The wide-lane v6 kernel (2-D prep/trig passes around a minimal
+    loop) must match the scan reference and chain across blocks, like
+    v4 — forced on via RTSDR_PLL_WIDE regardless of lane count."""
+    monkeypatch.setenv("RTSDR_PLL_WIDE", "1")
+    n = 3840
+    x = jnp.asarray(_pilot(n), jnp.float32)
+    kw = dict(freq=19e3, fs=240e3, nco_scale=2.0, loop_div=div)
+    ref_i, ref_q, ref_st = pll(x, pll_init((), jnp.float32),
+                               impl="scan", **kw)
+    our_i, our_q, our_st = pll_pallas(x, pll_init((), jnp.float32),
+                                      interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(our_i), np.asarray(ref_i),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(our_q), np.asarray(ref_q),
+                               atol=5e-5)
+    _assert_state_close(our_st, ref_st, atol=1e-3)
+
+    st = pll_init((), jnp.float32)
+    outs = []
+    for b in range(2):
+        oi, _, st = pll_pallas(x[b * 1920:(b + 1) * 1920], st,
+                               interpret=True, **kw)
+        outs.append(np.asarray(oi))
+    np.testing.assert_allclose(np.concatenate(outs), np.asarray(our_i),
+                               atol=5e-5)
+
+
+def test_wide_kernel_fused_pair_matches_v4(monkeypatch):
+    """v6 vs v4 on the production fused stereo+RDS pair layout."""
+    import math
+
+    n, c = 1920, 128
+    t = np.arange(n) / 240e3
+    a = np.stack([np.cos(2 * np.pi * 19e3 * t + 0.01 * k)
+                  for k in range(c)]).astype(np.float32)
+    b = np.stack([np.cos(2 * np.pi * 114e3 * t + 0.02 * k)
+                  for k in range(c)]).astype(np.float32)
+    kw = dict(freq=np.array([19e3, 114e3]).reshape(2, 1), fs=240e3,
+              nco_scale=np.array([2.0, 0.5]).reshape(2, 1),
+              phase_adjust=np.array(
+                  [0.0, math.pi / 3.3 - math.pi / 1.5]).reshape(2, 1),
+              norm_bandwidth=np.array([0.01, 0.001]).reshape(2, 1),
+              interpret=True)
+    monkeypatch.setenv("RTSDR_PLL_WIDE", "0")
+    ref = pll_pallas((jnp.asarray(a), jnp.asarray(b)),
+                     pll_init((2, c), jnp.float32), **kw)
+    monkeypatch.setenv("RTSDR_PLL_WIDE", "1")
+    wide = pll_pallas((jnp.asarray(a), jnp.asarray(b)),
+                      pll_init((2, c), jnp.float32), **kw)
+    np.testing.assert_allclose(np.asarray(wide[0]), np.asarray(ref[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wide[1]), np.asarray(ref[1]),
+                               atol=1e-6)
+    for x_, y_ in zip(jax.tree.leaves(wide[2]), jax.tree.leaves(ref[2])):
+        np.testing.assert_allclose(np.asarray(x_), np.asarray(y_),
+                                   atol=1e-6)
