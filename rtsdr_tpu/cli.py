@@ -46,6 +46,11 @@ def main(argv=None) -> int:
                         "= per-block re-estimation; gardner = decision-"
                         "directed timing loop (tracks receiver XO ppm error "
                         "the reference modes cannot)")
+    p.add_argument("--stereo-blend", action="store_true",
+                   help="fade stereo toward mono as the 19 kHz pilot "
+                        "weakens (the L-R subcarrier carries a ~20 dB "
+                        "noise penalty; every car radio does this). The "
+                        "reference always runs full stereo")
     p.add_argument("--pll-div", type=int, default=1, choices=(1, 2, 4, 8),
                    metavar="N",
                    help="run the PLL loop filter every N-th sample with "
@@ -106,6 +111,8 @@ def main(argv=None) -> int:
         kwargs["resync"] = True
     if args.pll_div != 1:
         kwargs["pll_loop_div"] = args.pll_div
+    if args.stereo_blend:
+        kwargs["stereo_blend"] = True
 
     if args.scan:
         if not args.wideband:

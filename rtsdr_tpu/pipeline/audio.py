@@ -72,7 +72,8 @@ def audio_init(cfg: ReceiverConfig, batch_shape: tuple = (),
 
 def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
                pll_impl: str = "auto", deemphasis: float | None = None,
-               pll_loop_div: int = 1):
+               pll_loop_div: int = 1,
+               stereo_blend: bool | tuple = False):
     """Returns ``audio(state, fm_demod) -> ((left, right, mono), new_state)``.
 
     fm_demod: (..., if_len); outputs at 48 kS/s: (..., audio_len).
@@ -81,6 +82,16 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
     ``deemphasis``: optional FM de-emphasis time constant in seconds
     (75e-6 Americas / 50e-6 Europe) applied to L/R — a capability the
     reference lacks (ops/iir.py).
+
+    ``stereo_blend``: fade stereo toward mono as the 19 kHz pilot
+    weakens (what every car radio does: the L-R subcarrier carries a
+    ~20 dB noise penalty, so forcing full stereo on a weak station
+    trades separation for hiss).  True = default thresholds, or a
+    ``(lo, hi)`` tuple of pilot-RMS levels (in FM-demod units): the L-R
+    signal scales linearly from 0 below ``lo`` to 1 above ``hi``.  The
+    defaults (0.02, 0.08) put full stereo at >=57% of a nominal
+    10%-deviation pilot (RMS ~0.139 at mode-0 rates) and mono below
+    ~14%.  Per-block, stateless; the reference always runs full stereo.
     """
     if_fs = cfg.rf.if_fs
     up, down = cfg.mono.up, cfg.mono.down
@@ -153,6 +164,12 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
             mono, stereo = ys[..., 0, :], ys[..., 1, :]
             mono_zi, stereo_zi = zi2[..., 0, :], zi2[..., 1, :]
 
+        if stereo_blend:
+            lo, hi = (0.02, 0.08) if stereo_blend is True else stereo_blend
+            p_rms = jnp.sqrt(jnp.mean(pilot * pilot, axis=-1,
+                                      keepdims=True))
+            blend = jnp.clip((p_rms - lo) * (1.0 / (hi - lo)), 0.0, 1.0)
+            stereo = stereo * blend
         left = 0.5 * (mono + stereo)
         right = 0.5 * (mono - stereo)
         (left, right), de = _deemph(left, right, state.deemph)

@@ -70,6 +70,7 @@ def make_receiver(
     frontend_impl: str = "auto",
     resamp_impl: str = "auto",
     pll_loop_div: int = 1,
+    stereo_blend: bool | tuple = False,
 ):
     """Build ``(init_fn, step_fn)`` for the full receiver.
 
@@ -94,7 +95,8 @@ def make_receiver(
     frontend = make_frontend(cfg, dtype, impl=frontend_impl)
     audio = make_audio(cfg, enable_stereo=enable_stereo,
                        pll_impl=pll_impl, deemphasis=deemphasis,
-                       pll_loop_div=pll_loop_div)
+                       pll_loop_div=pll_loop_div,
+                       stereo_blend=stereo_blend)
     rds_fn = (make_rds(cfg, pll_impl=pll_impl, resamp_impl=resamp_impl,
                        pll_loop_div=pll_loop_div)
               if enable_rds else None)

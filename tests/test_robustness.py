@@ -147,3 +147,40 @@ def test_pll_loop_div_full_chain_quality(div):
     sig = np.sqrt(np.mean(a ** 2))
     snr_db = 20 * np.log10(sig / max(err, 1e-30))
     assert snr_db > 30, f"div={div}: audio SNR vs full-rate {snr_db:.1f} dB"
+
+
+def test_stereo_blend_fades_weak_pilot():
+    """stereo_blend: full separation on a nominal pilot, mono when the
+    pilot is absent (stereo subcarrier still present = broken station /
+    pure noise — the blend must not let the noisy L-R through)."""
+    n_blocks = 3
+    fs = 48e3
+    f_tone = 2.3e3
+    amps = {}
+    for pilot_amp in (0.1, 0.0):
+        iq = synth_multiplex_iq(n_blocks * MODE0.block_size // 2,
+                                pilot_amp=pilot_amp, quantize=False)
+        iq = np.clip(np.round(iq * 100.0 + 128.0), 0, 255).astype(np.uint8)
+        init_fn, step_fn = make_receiver(MODE0, dtype=jnp.float32,
+                                         enable_rds=False,
+                                         stereo_blend=True)
+        state = init_fn()
+        step = jax.jit(step_fn)
+        l_all, r_all = [], []
+        bs = MODE0.block_size
+        for b in range(n_blocks):
+            state, out = step(state, jnp.asarray(iq[b * bs:(b + 1) * bs]))
+            l_all.append(np.asarray(out.left))
+            r_all.append(np.asarray(out.right))
+        diff = (np.concatenate(l_all)
+                - np.concatenate(r_all))[MODE0.audio_len:]
+        t = np.arange(len(diff)) / fs
+        amps[pilot_amp] = np.hypot(
+            2 * np.mean(diff * np.sin(2 * np.pi * f_tone * t)),
+            2 * np.mean(diff * np.cos(2 * np.pi * f_tone * t)))
+
+    expected = 2 * np.pi * 75e3 * 0.45 / 240e3
+    assert amps[0.1] > 0.9 * expected, f"blend hurt a good station: {amps}"
+    # no pilot: the PLL free-runs, and without blend the unsynchronized
+    # mixer would still leak the 38 kHz subcarrier into L-R
+    assert amps[0.0] < 0.05 * expected, f"weak-pilot stereo leaked: {amps}"
