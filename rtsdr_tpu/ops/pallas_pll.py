@@ -66,6 +66,12 @@ _TWO_PI = 2.0 * math.pi
 _INV_TWO_PI = 1.0 / _TWO_PI
 _LANES = 128
 _MAX_SPANS = 32  # v4 eligibility: distinct-dtheta lane spans
+# beyond this many flattened lanes one kernel invocation exceeds VMEM
+# (3+ (chunk, C) scratch planes at chunk>=128); larger batches are
+# lane-slabbed into sequential calls — the loop is issue-bound past
+# ~1024 lanes (total vector ops scale with C), so serial slabs cost
+# what one giant call would
+_MAX_LANES_PER_CALL = 2048
 
 
 def _wrap_pi(z):
@@ -430,6 +436,41 @@ def pll_pallas(
     c_real = 1
     for d in batch_shape:
         c_real *= d
+
+    if c_real > _MAX_LANES_PER_CALL:
+        # lane-slab: flatten the batch and run sequential <=2048-lane
+        # kernel calls (see _MAX_LANES_PER_CALL).  Per-lane parameters
+        # broadcast host-side and slice with the lanes.
+        x2d = (jnp.stack(list(x), axis=0) if parts is not None else x)
+        x2d = x2d.reshape(c_real, n)
+        st_flat = jax.tree.map(lambda v: v.reshape(c_real), state)
+
+        def bs(v):
+            return np.broadcast_to(np.asarray(v, np.float64),
+                                   batch_shape).reshape(c_real)
+
+        fr, nb = bs(freq), bs(norm_bandwidth)
+        sc, ad = bs(nco_scale), bs(phase_adjust)
+        nis, nqs, sts = [], [], []
+        for s0 in range(0, c_real, _MAX_LANES_PER_CALL):
+            s1 = min(s0 + _MAX_LANES_PER_CALL, c_real)
+            sub_st = jax.tree.map(lambda v: v[s0:s1], st_flat)
+            ni, nq, st_o = pll_pallas(
+                x2d[s0:s1], sub_st, freq=fr[s0:s1], fs=fs,
+                nco_scale=sc[s0:s1], phase_adjust=ad[s0:s1],
+                norm_bandwidth=nb[s0:s1], chunk=chunk,
+                interpret=interpret, delay_output=delay_output,
+                loop_div=loop_div)
+            nis.append(ni)
+            nqs.append(nq)
+            sts.append(st_o)
+        nco_i = jnp.concatenate(nis, axis=0).reshape(*batch_shape, n)
+        nco_q = jnp.concatenate(nqs, axis=0).reshape(*batch_shape, n)
+        new_state = jax.tree.map(
+            lambda *vs: jnp.concatenate(vs, axis=0).reshape(batch_shape),
+            *sts)
+        return nco_i, nco_q, new_state
+
     c = max(_LANES, -(-c_real // _LANES) * _LANES)
 
     cp, ci = 2.666, 3.555

@@ -352,3 +352,36 @@ def test_wide_kernel_fused_pair_matches_v4(monkeypatch):
     for x_, y_ in zip(jax.tree.leaves(wide[2]), jax.tree.leaves(ref[2])):
         np.testing.assert_allclose(np.asarray(x_), np.asarray(y_),
                                    atol=1e-6)
+
+
+def test_lane_slab_split_matches_scan(monkeypatch):
+    """Batches past _MAX_LANES_PER_CALL lane-slab into sequential kernel
+    calls; forced small here so a (2, 130) batch needs 3 slabs with a
+    ragged tail — must match the scan reference, per-lane params
+    sliced correctly."""
+    import math
+
+    import rtsdr_tpu.ops.pallas_pll as pp
+
+    monkeypatch.setattr(pp, "_MAX_LANES_PER_CALL", 128)
+    n, c = 1920, 130
+    t = np.arange(n) / 240e3
+    a = np.stack([np.cos(2 * np.pi * 19e3 * t + 0.01 * k)
+                  for k in range(c)]).astype(np.float32)
+    b = np.stack([np.cos(2 * np.pi * 114e3 * t + 0.02 * k)
+                  for k in range(c)]).astype(np.float32)
+    x = jnp.asarray(np.stack([a, b]))
+    kw = dict(freq=np.array([19e3, 114e3]).reshape(2, 1), fs=240e3,
+              nco_scale=np.array([2.0, 0.5]).reshape(2, 1),
+              phase_adjust=np.array(
+                  [0.0, math.pi / 3.3 - math.pi / 1.5]).reshape(2, 1),
+              norm_bandwidth=np.array([0.01, 0.001]).reshape(2, 1))
+    ref_i, ref_q, ref_st = pll(x, pll_init((2, c), jnp.float32),
+                               impl="scan", **kw)
+    our_i, our_q, our_st = pp.pll_pallas(x, pll_init((2, c), jnp.float32),
+                                         interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(our_i), np.asarray(ref_i),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(our_q), np.asarray(ref_q),
+                               atol=5e-5)
+    _assert_state_close(our_st, ref_st, atol=1e-3)
