@@ -636,7 +636,9 @@ def _call_v4(x2d_parts, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
     # CHAIN is the issue bound (6 x 16 vregs x 15360 steps ~ 1.6 ms at
     # 2048 lanes); stripping the off-chain work doesn't move it.  Kept
     # opt-in as the experimental record; loop_div is the lever that
-    # actually shortens the chain.
+    # actually shortens the chain.  NOTE the env var is read at TRACE
+    # time: set it before the first jit-compile of a step — toggling it
+    # later leaves the cached executable unchanged.
     import os
 
     wide = os.environ.get("RTSDR_PLL_WIDE") == "1"

@@ -93,6 +93,11 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
     10%-deviation pilot (RMS ~0.139 at mode-0 rates) and mono below
     ~14%.  Per-block, stateless; the reference always runs full stereo.
     """
+    if stereo_blend:
+        _blend_range = (0.02, 0.08) if stereo_blend is True else stereo_blend
+        if not _blend_range[1] > _blend_range[0]:
+            raise ValueError(
+                f"stereo_blend thresholds need hi > lo, got {_blend_range}")
     if_fs = cfg.rf.if_fs
     up, down = cfg.mono.up, cfg.mono.down
     taps = _audio_taps(cfg)
@@ -165,7 +170,7 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
             mono_zi, stereo_zi = zi2[..., 0, :], zi2[..., 1, :]
 
         if stereo_blend:
-            lo, hi = (0.02, 0.08) if stereo_blend is True else stereo_blend
+            lo, hi = _blend_range
             p_rms = jnp.sqrt(jnp.mean(pilot * pilot, axis=-1,
                                       keepdims=True))
             blend = jnp.clip((p_rms - lo) * (1.0 / (hi - lo)), 0.0, 1.0)

@@ -177,6 +177,7 @@ class GroupDecoder:
     rtplus: dict = field(default_factory=dict)    # RT+ content -> text
     rtplus_item_running: bool | None = None
     ert_bytes: list = field(default_factory=lambda: [0] * 128)  # eRT
+    _ert_utf8: bool = True               # from the 3A message bits
     _rtplus_toggle: int | None = None
     _tmc_seen: set = field(default_factory=set)
     _af_lfmf_next: bool = False                   # code 250 seen: next
@@ -284,6 +285,10 @@ class GroupDecoder:
             agtc = ib & 0x1F             # applied group: type<<1 | version
             applied = f"{agtc >> 1}{'B' if agtc & 1 else 'A'}"
             self.oda[applied] = id_      # block D = Application ID
+            if id_ == 0x6552:
+                # eRT announcement message (block C) bit 0 selects the
+                # text encoding: 1 = UTF-8, 0 = UCS-2 big-endian
+                self._ert_utf8 = bool(ic & 1)
         elif (g.group_type == 8 and g.version == 0
               and self.oda.get("8A", 0xCD46) == 0xCD46):
             # ALERT-C (8A is TMC by convention unless a 3A announced a
@@ -384,9 +389,14 @@ class GroupDecoder:
 
     @property
     def ert_str(self) -> str:
-        """Enhanced RadioText decoded as UTF-8 (trailing NULs stripped)."""
+        """Enhanced RadioText, decoded per the announced encoding (3A
+        message bit 0: UTF-8, else UCS-2 big-endian).  NULs from
+        not-yet-received segments are dropped so partial texts stay
+        printable."""
         raw = bytes(self.ert_bytes).rstrip(b"\x00")
-        return raw.decode("utf-8", errors="replace").rstrip()
+        enc = "utf-8" if self._ert_utf8 else "utf-16-be"
+        text = raw.decode(enc, errors="replace")
+        return text.replace("\x00", "").rstrip()
 
 
 def format_group(g: Group) -> str:

@@ -318,7 +318,8 @@ def test_groups_decode_ert():
 
     pi, pty = 0x3A5C, 5
     base = 0
-    g = push(pi, (3 << 12) | (1 << 10) | (pty << 5) | (12 << 1), 0,
+    # message bit 0 set -> UTF-8 text
+    g = push(pi, (3 << 12) | (1 << 10) | (pty << 5) | (12 << 1), 1,
              0x6552, base)
     assert g is not None and dec.oda == {"12A": 0x6552}
 
@@ -330,3 +331,36 @@ def test_groups_decode_ert():
         push(pi, (12 << 12) | (1 << 10) | (pty << 5) | seg,
              (by[0] << 8) | by[1], (by[2] << 8) | by[3], base)
     assert dec.ert_str == "Ünïcode!"
+
+
+def test_groups_decode_ert_ucs2_and_partial():
+    """eRT encoding flag from the 3A message bits (bit 0 clear = UCS-2
+    big-endian), and NULs from unreceived segments never reach the
+    decoded string."""
+    dec = GroupDecoder()
+
+    def push(ia, ib, ic, id_, base):
+        for k, (sid, info) in enumerate(((1, ia), (2, ib), (3, ic),
+                                         (4, id_))):
+            dec._window.append((base + 26 * k, sid, info))
+            dec._window = dec._window[-8:]
+        dec._last_pos = base + 78
+        return dec._try_assemble()
+
+    pi, pty = 0x3A5C, 5
+    # announce with message bit 0 = 0 -> UCS-2
+    push(pi, (3 << 12) | (1 << 10) | (pty << 5) | (12 << 1), 0, 0x6552, 0)
+    assert dec._ert_utf8 is False
+    # only segment 1 arrives: chars 2..3 of 'Text' in UCS-2 BE
+    payload = "Text".encode("utf-16-be")
+    by = payload[4:8]
+    push(pi, (12 << 12) | (1 << 10) | (pty << 5) | 1,
+         (by[0] << 8) | by[1], (by[2] << 8) | by[3], 104)
+    assert dec.ert_str == "xt"      # no NULs from the missing segment 0
+
+
+def test_stereo_blend_bad_thresholds_raise():
+    from rtsdr_tpu.pipeline.audio import make_audio
+
+    with pytest.raises(ValueError, match="hi > lo"):
+        make_audio(MODE0, stereo_blend=(0.05, 0.05))
