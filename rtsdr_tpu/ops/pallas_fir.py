@@ -403,7 +403,11 @@ def resample_mul2(extract, nco_i, nco_q, h, zi, up: int, down: int,
         return fir_resample(mixed, h, zi, up, down, gain=gain)
 
     b, a_w, h_w = geom
-    tile_c = tile or tile_channels(flat)
+    # narrower channel tiles win HERE (opposite of the FIR banks): the
+    # per-step mixed-window build + wide-K dot overlap better with the
+    # input DMA at 64 rows (same-process A/B at 1024 ch, block 608:
+    # tile 64 -> 1.28 ms vs tile 128 -> 1.5; 256 exceeds VMEM)
+    tile_c = tile or (64 if flat % 64 == 0 else tile_channels(flat))
     assert flat % tile_c == 0, (
         f"channel tile {tile_c} must divide the flattened batch {flat}")
     h_mat = jnp.asarray(_resample_h(h_np, up, down, b, h_w, a_w, gain),
