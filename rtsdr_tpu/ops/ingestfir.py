@@ -224,6 +224,28 @@ def _ingest_demod_kernel(p_ref, a_ref, hh_ref, ha_ref, bi_ref, bq_ref,
         s_out_ref[...] = jnp.where(lane == 0, ri, pltpu.roll(yq, 2, 1))
 
 
+def _ingest_grid_specs(tile_c: int, blk_bytes: int, head: int,
+                       span_k: int, block: int):
+    """The (look-back, A-block, H-head, H-body) in_specs shared by the
+    plain and demod-fused ingest pallas_calls, plus the look-back ref
+    width (smallest 128-multiple >= head dividing the A-block stride)."""
+    p_w = next(w for w in range(128, blk_bytes + 1, 128)
+               if w >= head and blk_bytes % w == 0)
+    specs = [
+        pl.BlockSpec((tile_c, p_w),
+                     lambda i, j, r=blk_bytes // p_w: (
+                         i, jnp.maximum(j * r - 1, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_c, blk_bytes), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((head, 4 * block), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((span_k - head, 4 * block), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return specs, p_w
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5),
                    inline=True)
 def _pallas_ingest(raw_u8, h_mat, stride_raw: int, block: int,
@@ -242,29 +264,15 @@ def _pallas_ingest(raw_u8, h_mat, stride_raw: int, block: int,
     m_total = n // stride_raw
     nblk = m_total // out_tile
     blk_bytes = out_tile * stride_raw
-    # look-back ref: smallest 128-multiple width >= head dividing the
-    # A-block stride (512 at out_tile=128/decim=10)
-    p_w = next(w for w in range(128, blk_bytes + 1, 128)
-               if w >= head and blk_bytes % w == 0)
+    in_specs, p_w = _ingest_grid_specs(tile_c, blk_bytes, head, span_k,
+                                       block)
     kern = functools.partial(_ingest_kernel, block=block, head=head,
                              p_w=p_w, inv_scale=inv_scale,
                              stride_raw=stride_raw, out_tile=out_tile)
     yi, yq = pl.pallas_call(
         kern,
         grid=(c // tile_c, nblk),
-        in_specs=[
-            # previous p_w-aligned block: offset j*blk_bytes - p_w
-            pl.BlockSpec((tile_c, p_w),
-                         lambda i, j, r=blk_bytes // p_w: (
-                             i, jnp.maximum(j * r - 1, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_c, blk_bytes), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((head, 4 * block), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((span_k - head, 4 * block), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -294,8 +302,10 @@ def _pallas_ingest_demod(raw_u8, h_mat, bnd_i, bnd_q, prev_i, prev_q,
     m_total = n // stride_raw
     nblk = m_total // out_tile
     blk_bytes = out_tile * stride_raw
-    p_w = next(w for w in range(128, blk_bytes + 1, 128)
-               if w >= head and blk_bytes % w == 0)
+    in_specs, p_w = _ingest_grid_specs(tile_c, blk_bytes, head, span_k,
+                                       block)
+    in_specs += [pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)] * 3
     kern = functools.partial(_ingest_demod_kernel, block=block, head=head,
                              p_w=p_w, inv_scale=inv_scale,
                              stride_raw=stride_raw, out_tile=out_tile)
@@ -307,24 +317,7 @@ def _pallas_ingest_demod(raw_u8, h_mat, bnd_i, bnd_q, prev_i, prev_q,
     fm, s_out = pl.pallas_call(
         kern,
         grid=(c // tile_c, nblk),
-        in_specs=[
-            pl.BlockSpec((tile_c, p_w),
-                         lambda i, j, r=blk_bytes // p_w: (
-                             i, jnp.maximum(j * r - 1, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_c, blk_bytes), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((head, 4 * block), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((span_k - head, 4 * block), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),

@@ -93,11 +93,12 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
     10%-deviation pilot (RMS ~0.139 at mode-0 rates) and mono below
     ~14%.  Per-block, stateless; the reference always runs full stereo.
     """
+    blend_range = None
     if stereo_blend:
-        _blend_range = (0.02, 0.08) if stereo_blend is True else stereo_blend
-        if not _blend_range[1] > _blend_range[0]:
+        blend_range = (0.02, 0.08) if stereo_blend is True else stereo_blend
+        if not blend_range[1] > blend_range[0]:
             raise ValueError(
-                f"stereo_blend thresholds need hi > lo, got {_blend_range}")
+                f"stereo_blend thresholds need hi > lo, got {blend_range}")
     if_fs = cfg.rf.if_fs
     up, down = cfg.mono.up, cfg.mono.down
     taps = _audio_taps(cfg)
@@ -169,8 +170,8 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
             mono, stereo = ys[..., 0, :], ys[..., 1, :]
             mono_zi, stereo_zi = zi2[..., 0, :], zi2[..., 1, :]
 
-        if stereo_blend:
-            lo, hi = _blend_range
+        if blend_range is not None:
+            lo, hi = blend_range
             p_rms = jnp.sqrt(jnp.mean(pilot * pilot, axis=-1,
                                       keepdims=True))
             blend = jnp.clip((p_rms - lo) * (1.0 / (hi - lo)), 0.0, 1.0)

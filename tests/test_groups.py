@@ -302,25 +302,26 @@ def test_seam_duplicate_windows_not_double_counted(decoded_station):
     assert np.all(deltas % 26 == 0)
 
 
+def _push_group(dec, ia, ib, ic, id_, base):
+    """Drive GroupDecoder's assembler directly with one A/B/C/D group at
+    bit position ``base`` (no RF chain — unit-level payload tests)."""
+    for k, (sid, info) in enumerate(((1, ia), (2, ib), (3, ic), (4, id_))):
+        dec._window.append((base + 26 * k, sid, info))
+        dec._window = dec._window[-8:]
+    dec._last_pos = base + 78
+    return dec._try_assemble()
+
+
 def test_groups_decode_ert():
     """eRT (ODA 0x6552): UTF-8 RadioText in the announced group,
     4 bytes per segment — exercised directly at the assembler level
     (multi-byte characters across segment boundaries)."""
     dec = GroupDecoder()
-
-    def push(ia, ib, ic, id_, base):
-        for k, (sid, info) in enumerate(((1, ia), (2, ib), (3, ic),
-                                         (4, id_))):
-            dec._window.append((base + 26 * k, sid, info))
-            dec._window = dec._window[-8:]
-        dec._last_pos = base + 78
-        return dec._try_assemble()
-
     pi, pty = 0x3A5C, 5
     base = 0
     # message bit 0 set -> UTF-8 text
-    g = push(pi, (3 << 12) | (1 << 10) | (pty << 5) | (12 << 1), 1,
-             0x6552, base)
+    g = _push_group(dec, pi, (3 << 12) | (1 << 10) | (pty << 5) | (12 << 1),
+                    1, 0x6552, base)
     assert g is not None and dec.oda == {"12A": 0x6552}
 
     payload = "Ünïcode!".encode("utf-8")
@@ -328,8 +329,8 @@ def test_groups_decode_ert():
     for seg in range(len(payload) // 4):
         base += 104
         by = payload[4 * seg:4 * seg + 4]
-        push(pi, (12 << 12) | (1 << 10) | (pty << 5) | seg,
-             (by[0] << 8) | by[1], (by[2] << 8) | by[3], base)
+        _push_group(dec, pi, (12 << 12) | (1 << 10) | (pty << 5) | seg,
+                    (by[0] << 8) | by[1], (by[2] << 8) | by[3], base)
     assert dec.ert_str == "Ünïcode!"
 
 
@@ -338,24 +339,16 @@ def test_groups_decode_ert_ucs2_and_partial():
     big-endian), and NULs from unreceived segments never reach the
     decoded string."""
     dec = GroupDecoder()
-
-    def push(ia, ib, ic, id_, base):
-        for k, (sid, info) in enumerate(((1, ia), (2, ib), (3, ic),
-                                         (4, id_))):
-            dec._window.append((base + 26 * k, sid, info))
-            dec._window = dec._window[-8:]
-        dec._last_pos = base + 78
-        return dec._try_assemble()
-
     pi, pty = 0x3A5C, 5
     # announce with message bit 0 = 0 -> UCS-2
-    push(pi, (3 << 12) | (1 << 10) | (pty << 5) | (12 << 1), 0, 0x6552, 0)
+    _push_group(dec, pi, (3 << 12) | (1 << 10) | (pty << 5) | (12 << 1),
+                0, 0x6552, 0)
     assert dec._ert_utf8 is False
     # only segment 1 arrives: chars 2..3 of 'Text' in UCS-2 BE
     payload = "Text".encode("utf-16-be")
     by = payload[4:8]
-    push(pi, (12 << 12) | (1 << 10) | (pty << 5) | 1,
-         (by[0] << 8) | by[1], (by[2] << 8) | by[3], 104)
+    _push_group(dec, pi, (12 << 12) | (1 << 10) | (pty << 5) | 1,
+                (by[0] << 8) | by[1], (by[2] << 8) | by[3], 104)
     assert dec.ert_str == "xt"      # no NULs from the missing segment 0
 
 
