@@ -11,6 +11,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.makedirs(cache, exist_ok=True)
 import jax  # noqa: E402
