@@ -177,6 +177,9 @@ def _print_rds_summary(decoder, prefix: str = "") -> None:
         return
     from rtsdr_tpu.pipeline.groups import ODA_NAMES, PTY_NAMES
 
+    if decoder.alarm:
+        print(f"{prefix}RDS: *** EMERGENCY ALARM (PTY 31) ***",
+              file=sys.stderr)
     pty = PTY_NAMES[decoder.pty] if PTY_NAMES[decoder.pty] \
         else str(decoder.pty)
     print(f"{prefix}RDS: PI=0x{decoder.pi:04X} PTY={pty} "

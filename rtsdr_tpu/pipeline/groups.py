@@ -219,6 +219,13 @@ class GroupDecoder:
         self._di_seen |= 1 << bit
 
     @property
+    def alarm(self) -> bool:
+        """PTY 31 = Alarm (IEC 62106 §3.2.1.2): interrupt normal
+        programme handling — a real receiver unmutes and overrides
+        source selection."""
+        return self.pty == 31
+
+    @property
     def di_stereo(self) -> bool | None:
         """Decoder-identification d0: True = transmission is stereo.
         None until segment 3 has aired."""

@@ -357,3 +357,15 @@ def test_stereo_blend_bad_thresholds_raise():
 
     with pytest.raises(ValueError, match="hi > lo"):
         make_audio(MODE0, stereo_blend=(0.05, 0.05))
+
+
+def test_groups_alarm_pty31():
+    """PTY 31 = Alarm: the decoder flags it for receiver override."""
+    dec = GroupDecoder()
+    _push_group(dec, 0x3A5C, (0 << 12) | (1 << 10) | (31 << 5) | 0,
+                0, (ord("A") << 8) | ord("L"), 0)
+    assert dec.alarm is True
+    dec2 = GroupDecoder()
+    _push_group(dec2, 0x3A5C, (0 << 12) | (1 << 10) | (5 << 5) | 0,
+                0, (ord("A") << 8) | ord("L"), 0)
+    assert dec2.alarm is False
