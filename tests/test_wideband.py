@@ -169,3 +169,30 @@ def test_wideband_channel_sharded_matches_single_device():
                                    np.asarray(out.left), atol=2e-5)
         np.testing.assert_allclose(np.asarray(out_sh.right),
                                    np.asarray(out.right), atol=2e-5)
+
+
+def test_wideband_composes_receiver_options():
+    """The receiver options added in round 3 (pll_loop_div, stereo_blend,
+    deemphasis) must compose through the wideband path's kwargs
+    forwarding — compile-and-run smoke at tiny K, finite audio out."""
+    k = 2
+    bs = MODE0.block_size
+    n_iq = bs // 2
+    u8 = synth_multiplex_iq(n_iq, quantize=False)
+    xi = u8[0::2] + 1j * u8[1::2]
+    up = signal.resample_poly(xi, k, 1)
+    wide = up * np.exp(2j * np.pi * 1 * np.arange(len(up)) / k)
+    wide /= max(1.0, np.abs(wide).max() / 0.95)
+    raw = np.empty(2 * len(wide), np.float64)
+    raw[0::2] = wide.real
+    raw[1::2] = wide.imag
+    raw_u8 = np.clip(np.round(raw * 128 + 128), 0, 255).astype(np.uint8)
+
+    init_fn, step_fn = make_wideband_receiver(
+        MODE0, k, enable_rds=False, pll_loop_div=2, stereo_blend=True,
+        deemphasis=75e-6)
+    state = init_fn()
+    state, out = jax.jit(step_fn)(state, jnp.asarray(raw_u8))
+    audio = np.asarray(out.left)
+    assert audio.shape == (k, MODE0.audio_len)
+    assert np.all(np.isfinite(audio))
