@@ -67,19 +67,72 @@ SYNDROMES = np.array(
         [1, 1, 1, 1, 0, 1, 0, 1, 0, 0],  # B
         [1, 0, 0, 1, 0, 1, 1, 1, 0, 0],  # C
         [1, 0, 0, 1, 0, 1, 1, 0, 0, 0],  # D
+        [1, 1, 1, 1, 0, 0, 1, 1, 0, 0],  # C' (offset word 0b1101010000)
     ],
     dtype=np.int32,
 )
-SYNDROME_NAMES = ["A", "B", "C", "D"]
+SYNDROME_NAMES = ["A", "B", "C", "D", "C'"]
 
 CARRY_BITS = 27  # model/fmRDSblock.py:346 carries position-1 onward
 
-# Gardner timing-loop gain: error is normalized by symbol power, so the
-# gain maps error units to samples/block; 6.0 steps ~1 sample per block
-# at ~0.2-symbol timing offset (calibrated on the synthetic multiplex,
-# test_frame_edges.py gardner tests) while noise-induced jitter stays
-# well under the rounding threshold.
-_GARDNER_GAIN = 6.0
+def _gardner_ted_slope(sps: int, rrc: np.ndarray) -> float:
+    """Expected Gardner TED S-curve slope (error units per sample of
+    timing offset) for Manchester chips matched-filtered by ``rrc``.
+
+    Derivation: the receiver chip stream is y(t) = sum_m c_m g(t - m*sps)
+    with g = rrc (tx) convolved with rrc (rx) and Manchester chip
+    correlation R(m,m)=1, R(2k,2k+1)=-1, else 0 (chips within one bit are
+    always opposite; distinct bits are independent).  The detector error
+    e(tau) = E[mid*(sym_n - sym_{n-1})]/E[sym^2] then has a closed form in
+    g, evaluated here on the integer sample grid and differenced at
+    tau=+-1; verified against brute-force simulation (the two agree to
+    <1%, and 1/slope = 5.87 for the mode-0 RRC matches the round-3
+    empirically-calibrated 6.0 this replaces).
+    """
+    g = np.convolve(rrc, rrc)
+    c = len(g) // 2
+    m_max = (c // sps) + 2
+
+    def corr(t1: int, t2: int) -> float:
+        s = 0.0
+        for m in range(-m_max, m_max):
+            tm, tn = t1 - m * sps, t2 - m * sps
+            if abs(tm) <= c and abs(tn) <= c:
+                s += g[c + tm] * g[c + tn]
+        for k in range(-m_max // 2 - 1, m_max // 2 + 1):
+            for p, q in ((2 * k, 2 * k + 1), (2 * k + 1, 2 * k)):
+                tp, tq = t1 - p * sps, t2 - q * sps
+                if abs(tp) <= c and abs(tq) <= c:
+                    s -= g[c + tp] * g[c + tq]
+        return s
+
+    def e_of_tau(tau: int) -> float:
+        num = den = 0.0
+        half = sps // 2
+        for n0 in (0, 1):   # chip-parity average (Manchester is period-2)
+            t_sym = n0 * sps + tau
+            t_prev = (n0 - 1) * sps + tau
+            t_mid = n0 * sps - half + tau
+            num += corr(t_mid, t_sym) - corr(t_mid, t_prev)
+            den += corr(t_sym, t_sym)
+        return num / den
+
+    return (e_of_tau(1) - e_of_tau(-1)) / 2.0
+
+
+def gardner_gain(cfg: ReceiverConfig) -> float:
+    """Deadbeat Gardner loop gain 1/slope: one block's averaged error maps
+    to the full offset correction in samples (the per-block step is then
+    clipped to +-1 sample by the loop).  Replaces the round-3 magic 6.0,
+    which was calibrated empirically on the synthetic multiplex — the
+    derived value (5.87 for mode 0) reproduces it and now tracks the
+    configured sps / RRC beta instead of silently going stale with them.
+    """
+    from rtsdr_tpu.ops.coeffs import rrc_taps
+    r = cfg.rds
+    rrc = np.asarray(rrc_taps(r.rrc_fs, r.rrc_taps, r.rrc_beta,
+                              r.symbol_rate), np.float64)
+    return float(1.0 / _gardner_ted_slope(r.sps, rrc))
 
 
 class FrameState(NamedTuple):
@@ -101,7 +154,7 @@ class FrameOutputs(NamedTuple):
     symbols_i: jax.Array     # (S_MAX,) float, padded
     symbols_q: jax.Array     # (S_MAX,) float (constellation diagnostics)
     n_windows: jax.Array     # int32
-    syndrome_id: jax.Array   # (W_MAX,) int32: 0 none, 1..4 = A..D
+    syndrome_id: jax.Array   # (W_MAX,) int32: 0 none, 1..5 = A,B,C,D,C'
     is_sync: jax.Array       # (W_MAX,) bool: accepted (26-spaced) sync
     is_false_pos: jax.Array  # (W_MAX,) bool: matched but wrongly spaced
     positions: jax.Array     # (W_MAX,) int32 global bit positions
@@ -210,11 +263,19 @@ def resolve_sync(sid, w_valid, base_pos, last_position, bad_count,
 
 
 def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
-               use_abs_clock: bool = False, resync: bool = False):
+               use_abs_clock: bool = False, resync: bool = False,
+               with_cprime: bool = True):
     """Returns ``frame(state, rrc_i, rrc_q) -> (outputs, new_state)``.
 
     Operates per channel (1-D inputs of length cfg.rds_len); ``jax.vmap``
     for multi-channel use.
+
+    ``with_cprime`` (default True) also matches the C' offset word that
+    real version-B groups (0B/2B/15B) transmit in block 3 (IEC 62106
+    offset-word table).  The reference checks only A/B/C/D
+    (src/fm_radio.cpp:479-482), so on a standards-compliant signal its
+    sync chain breaks at every version-B group; pass False only for
+    strict reference-parity comparisons.  syndrome_id 5 = C'.
 
     ``resync=True`` adds the C++'s recovery mechanism (src/fm_radio.cpp:
     699-704): after >10 consecutive wrongly-spaced syndrome matches the
@@ -248,7 +309,8 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
     sps = cfg.rds.sps
     s_max, b_max, e_max, w_max = frame_sizes(cfg)
     h_mat = jnp.asarray(H_MATRIX)
-    synds = jnp.asarray(SYNDROMES)
+    synds = jnp.asarray(SYNDROMES if with_cprime else SYNDROMES[:4])
+    g_gain = gardner_gain(cfg) if offset_mode == "gardner" else 0.0
 
     def frame(state: FrameState, rrc_i: jax.Array, rrc_q: jax.Array):
         i32 = jnp.int32
@@ -318,7 +380,7 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
             e = num / (den + jnp.asarray(1e-12, den.dtype))
             # e > 0 <=> sampling late (mid sample past the transition
             # crossing, same sign as the symbol step) -> move earlier
-            frac = state.offset_frac - _GARDNER_GAIN * e
+            frac = state.offset_frac - g_gain * e
             step = jnp.clip(jnp.round(frac), -1.0, 1.0)
             new_frac = frac - step
             new_offset = jnp.mod(offset + step.astype(i32), sps)

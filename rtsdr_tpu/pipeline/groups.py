@@ -45,6 +45,7 @@ PTY_NAMES = [
 ]
 
 _OFFSET_A, _OFFSET_B, _OFFSET_C, _OFFSET_D = 1, 2, 3, 4  # syndrome ids
+_OFFSET_CP = 5  # C' — block 3 of version-B groups (IEC 62106 offset table)
 
 
 def mjd_to_date(mjd: int) -> tuple:
@@ -260,14 +261,25 @@ class GroupDecoder:
             self._window[-4:]
         if (sa, sb, sd) != (_OFFSET_A, _OFFSET_B, _OFFSET_D):
             return None
-        if sc != _OFFSET_C:  # version-B groups use offset C' — the
-            return None      # reference H has no C' syndrome, so only A..D
+        # Block 3 carries offset C in version-A groups and C' in version-B
+        # groups (IEC 62106 offset-word table) — the offset word and block
+        # B's version bit are redundant by design, so a mismatch means a
+        # corrupted (yet syndrome-passing) block: drop the group.  The
+        # reference never matches C' at all (src/fm_radio.cpp:479-482),
+        # which makes real 0B/2B/15B groups undecodable there.
+        version = (ib >> 11) & 1
+        if sc != (_OFFSET_CP if version else _OFFSET_C):
+            return None
         if not (pb - pa == 26 and pc - pb == 26 and pd - pc == 26):
+            return None
+        # In version B, block 3 (C') repeats the PI code — a free
+        # integrity check on top of the syndrome match.
+        if version and ic != ia:
             return None
         g = Group(
             pi=ia,
             group_type=(ib >> 12) & 0xF,
-            version=(ib >> 11) & 1,
+            version=version,
             tp=(ib >> 10) & 1,
             pty=(ib >> 5) & 0x1F,
             blocks=(ia, ib, ic, id_),

@@ -190,6 +190,7 @@ SYNDROME_LIST = {
     "B": [1, 1, 1, 1, 0, 1, 0, 1, 0, 0],
     "C": [1, 0, 0, 1, 0, 1, 1, 1, 0, 0],
     "D": [1, 0, 0, 1, 0, 1, 1, 0, 0, 0],
+    "C'": [1, 1, 1, 1, 0, 0, 1, 1, 0, 0],  # version-B block 3 (IEC 62106)
 }
 
 
@@ -201,8 +202,11 @@ class GoldenFrameDecoder:
     src/fm_radio.cpp:529-538).
     """
 
-    def __init__(self, offset_mode="track"):
+    def __init__(self, offset_mode="track", with_cprime=True):
         self.h = _build_h()
+        self.syndromes = dict(SYNDROME_LIST)
+        if not with_cprime:   # strict 4-syndrome reference behavior
+            del self.syndromes["C'"]
         self.offset_mode = offset_mode
         self.block_count = 0
         self.int_offset = 0
@@ -272,7 +276,7 @@ class GoldenFrameDecoder:
         while True:
             block = diff[position:position + 26]
             synd = (block @ self.h) % 2
-            for name, pat in SYNDROME_LIST.items():
+            for name, pat in self.syndromes.items():
                 if list(synd) == pat:
                     if self.last_position == -1 or (
                             self.printposition - self.last_position == 26):
@@ -295,7 +299,8 @@ class GoldenFrameDecoder:
 # the reference's syndrome_A..D values)
 RDS_CRC_POLY = 0b10110111001
 RDS_OFFSET_WORDS = {"A": 0b0011111100, "B": 0b0110011000,
-                    "C": 0b0101101000, "D": 0b0110110100}
+                    "C": 0b0101101000, "D": 0b0110110100,
+                    "C'": 0b1101010000}
 
 
 def rds_crc10(info: int) -> int:
@@ -307,21 +312,33 @@ def rds_crc10(info: int) -> int:
     return r & 0x3FF
 
 
-def encode_rds_blocks(info_words, rng=None):
+def encode_rds_blocks(info_words, rng=None, cprime=True):
     """Build a standards-layout RDS bit stream: 26-bit blocks
     [info(16, MSB first) | crc^offset(10)] with offsets cycling A,B,C,D.
     This is the real over-the-air layout; under the reference H it produces
     exactly the reference's syndrome values (src/fm_radio.cpp:479-482).
 
+    With ``cprime`` (default, the real transmitter behavior per IEC 62106),
+    block 3 of a group whose block B carries version bit 1 (a version-B
+    group) is sent with offset word C' instead of C.  ``cprime=False``
+    reproduces the unconditional A,B,C,D cycle for strict reference-parity
+    fixtures (which is what the reference's 4-syndrome H can decode).
+
     ``info_words``: iterable of 16-bit values — either ints or 16-element
     MSB-first bit vectors."""
     names = ["A", "B", "C", "D"]
     bits = []
+    version_b = False
     for n, info in enumerate(info_words):
         if np.ndim(info) > 0:
             info = int("".join(str(int(b)) for b in np.asarray(info)), 2)
         info = int(info) & 0xFFFF
-        check = rds_crc10(info) ^ RDS_OFFSET_WORDS[names[n % 4]]
+        name = names[n % 4]
+        if n % 4 == 1:
+            version_b = bool((info >> 11) & 1)
+        elif n % 4 == 2 and version_b and cprime:
+            name = "C'"
+        check = rds_crc10(info) ^ RDS_OFFSET_WORDS[name]
         bits.extend((info >> (15 - k)) & 1 for k in range(16))
         bits.extend((check >> (9 - k)) & 1 for k in range(10))
     return np.array(bits, dtype=int)

@@ -53,19 +53,24 @@ def _symbols_for_bits(bits, start_pad=0, rng=None):
 @pytest.mark.parametrize("offset", [0, 5, 23])
 @pytest.mark.parametrize("start_pad", [0, 1])
 @pytest.mark.parametrize("offset_mode", ["hold", "track"])
-def test_crafted_streams_match_golden(offset, start_pad, offset_mode):
+@pytest.mark.parametrize("cprime", [True, False])
+def test_crafted_streams_match_golden(offset, start_pad, offset_mode, cprime):
+    """cprime=True: standards layout (version-B groups send C' in block 3)
+    decoded with the 5-syndrome table; cprime=False: the reference's strict
+    4-syndrome A/B/C/D world on an unconditionally-cycled stream."""
     rng = np.random.default_rng(offset * 7 + start_pad)
     info = rng.integers(0, 2, (40, 16))
-    bits = encode_rds_blocks(info)
+    bits = encode_rds_blocks(info, cprime=cprime)
     symbols = _symbols_for_bits(bits, start_pad)
     n_blocks = 4
     blocks = _blocks_from_symbols(symbols, offset, n_blocks)
 
-    golden = GoldenFrameDecoder(offset_mode=offset_mode)
-    frame_fn = jax.jit(make_frame(MODE0, offset_mode=offset_mode))
+    golden = GoldenFrameDecoder(offset_mode=offset_mode, with_cprime=cprime)
+    frame_fn = jax.jit(make_frame(MODE0, offset_mode=offset_mode,
+                                  with_cprime=cprime))
     state = frame_init(MODE0, dtype=jnp.float64)
 
-    names = {1: "A", 2: "B", 3: "C", 4: "D"}
+    names = {1: "A", 2: "B", 3: "C", 4: "D", 5: "C'"}
     total_syncs = 0
     for b, blk in enumerate(blocks):
         j = jnp.asarray(blk)

@@ -172,6 +172,122 @@ def decoded_station():
     return dec
 
 
+def _make_station_groups_b(n_groups, pi=0x1B2C, pty=10, ps="CPRIME 8",
+                           radiotext="OFFSET C PRIME!!"):
+    """All-version-B schedule: 0B PS segments (with TA/MS/DI flags) on
+    even groups, 2B RadioText on odd, every 8th group 15B fast flags.
+    Block 3 of every group is the PI repeat carried under offset word
+    C' — the layout a standards-compliant transmitter actually sends
+    (IEC 62106), which the reference's 4-syndrome H cannot stay synced
+    through."""
+    words = []
+    ps = (ps + " " * 8)[:8]
+    rt = (radiotext + " " * 16)[:16]
+    ps_i = rt_i = 0
+    for g in range(n_groups):
+        if g % 8 == 7:           # 15B: fast TA/MS/DI (B repeated in D)
+            b = ((15 << 12) | (1 << 11) | (1 << 10) | (pty << 5)
+                 | (1 << 4) | (0 << 3) | (1 << 2) | 3)
+            c, d = pi, b
+        elif g % 2 == 1:         # 2B: 2 RadioText chars in block D
+            seg = rt_i % 8
+            rt_i += 1
+            b = (2 << 12) | (1 << 11) | (1 << 10) | (pty << 5) | seg
+            c = pi
+            d = (ord(rt[2 * seg]) << 8) | ord(rt[2 * seg + 1])
+        else:                    # 0B: PS segment in block D, C = PI
+            seg = ps_i % 4
+            ps_i += 1
+            di_bit = 1 if seg == 3 else 0
+            b = ((0 << 12) | (1 << 11) | (1 << 10) | (pty << 5)
+                 | (1 << 4) | (0 << 3) | (di_bit << 2) | seg)
+            c = pi
+            d = (ord(ps[2 * seg]) << 8) | ord(ps[2 * seg + 1])
+        words.extend([pi, b, c, d])
+    return words
+
+
+@pytest.fixture(scope="module")
+def decoded_station_b():
+    """Standards-encoded all-version-B station through the FULL receiver:
+    every group's block 3 rides offset word C' (tests/oracles.py encoder,
+    cprime=True default).  Closes the round-3 finding that the 0B/2B/15B
+    handlers were unreachable on compliant air."""
+    # ~0.73 groups/block and 3 RT segments per 8 groups: 31 blocks airs
+    # all 8 RadioText segments with margin
+    n_blocks = 31
+    words = _make_station_groups_b(40 * n_blocks)
+    wave = rds_baseband(encode_rds_blocks(words))
+    rng = np.random.default_rng(0x6B)
+    iq = synth_multiplex_iq(n_blocks * MODE0.block_size // 2, rds_wave=wave,
+                            rng=rng)
+    init_fn, step_fn = make_receiver(MODE0, dtype=jnp.float32,
+                                     use_abs_clock=True)
+    step = jax.jit(step_fn)
+    state = init_fn()
+    dec = GroupDecoder()
+    bs = MODE0.block_size
+    for b in range(n_blocks):
+        state, out = step(state, jnp.asarray(iq[b * bs:(b + 1) * bs]))
+        dec.feed(out.rds)
+    return dec
+
+
+def test_version_b_groups_assemble_on_compliant_stream(decoded_station_b):
+    """C' at block 3 must not break frame sync or group assembly: the
+    all-B stream yields a steady run of groups, every one version B."""
+    dec = decoded_station_b
+    assert len(dec.groups) >= 7, f"only {len(dec.groups)} groups assembled"
+    assert dec.pi == 0x1B2C
+    for g in dec.groups:
+        assert g.version == 1
+        assert g.name in ("0B", "2B", "15B")
+    positions = [g.position for g in dec.groups]
+    assert len(positions) == len(set(positions))
+
+
+def test_version_b_ps_flags_and_radiotext(decoded_station_b):
+    """0B delivers PS + TA/MS/DI, 2B delivers RadioText, 15B repeats the
+    fast flags — the payloads a real B-heavy station carries."""
+    dec = decoded_station_b
+    assert dec.ps_name == "CPRIME 8"
+    assert dec.radiotext_str == "OFFSET C PRIME!!"
+    assert dec.ta == 1
+    assert dec.ms == 0
+    assert dec.di_stereo is True
+    assert any(g.name == "15B" for g in dec.groups)
+
+
+def test_version_b_needs_cprime_syndrome():
+    """The reference's 4-syndrome decode (with_cprime=False) must FAIL to
+    assemble version-B groups from a compliant stream — documenting the
+    reference limitation this build exceeds (src/fm_radio.cpp:479-482) —
+    while the 5-syndrome frame layer assembles them (unit-level: the
+    assembler rejects C-at-block-3 for version-B, accepts C')."""
+    dec = GroupDecoder()
+    pi = 0x1B2C
+    b_word = (0 << 12) | (1 << 11) | (1 << 10) | (10 << 5) | 0
+    d_word = (ord("C") << 8) | ord("P")
+    # offset C at block 3 of a version-B group: non-compliant, rejected
+    for k, (sid, info) in enumerate(((1, pi), (2, b_word), (3, pi),
+                                     (4, d_word))):
+        dec._window.append((26 * k, sid, info))
+    assert dec._try_assemble() is None
+    # offset C' (sid 5): accepted
+    dec2 = GroupDecoder()
+    for k, (sid, info) in enumerate(((1, pi), (2, b_word), (5, pi),
+                                     (4, d_word))):
+        dec2._window.append((26 * k, sid, info))
+    g = dec2._try_assemble()
+    assert g is not None and g.name == "0B"
+    # C' whose PI repeat disagrees with block A: corrupted, rejected
+    dec3 = GroupDecoder()
+    for k, (sid, info) in enumerate(((1, pi), (2, b_word), (5, pi ^ 0xFF),
+                                     (4, d_word))):
+        dec3._window.append((26 * k, sid, info))
+    assert dec3._try_assemble() is None
+
+
 def test_groups_decode_pi_pty(decoded_station):
     dec = decoded_station
     # ~0.73 groups/block; the pre-sync opening group is lost

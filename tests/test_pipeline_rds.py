@@ -67,7 +67,7 @@ def test_frame_layer_matches_golden(rds_setup, offset_mode):
     frame_fn = jax.jit(make_frame(MODE0, offset_mode=offset_mode))
     state = frame_init(MODE0, dtype=jnp.float64)
 
-    names = {1: "A", 2: "B", 3: "C", 4: "D"}
+    names = {1: "A", 2: "B", 3: "C", 4: "D", 5: "C'"}
     for b in range(n_blocks):
         ri, rq = rrc_ref[b]
         ref_symbols, ref_events = golden.step(ri, rq)

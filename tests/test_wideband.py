@@ -98,6 +98,81 @@ def test_wideband_two_stations_decode():
     assert a_11[2] < 0.05 and a_07[2] < 0.05, (a_11, a_07)  # empty slot
 
 
+def test_wideband_rds_decodes_per_channel():
+    """The CLI-default configuration (--wideband K runs with RDS + frame
+    sync ON) end to end: an RDS station in one slot of a K=4 capture must
+    deliver 26-bit-spaced syndromes AND decoded group payloads through
+    the batched frame layer on channelizer output, while the empty slots
+    decode nothing.  Covers the round-3 gap: every wideband test passed
+    enable_rds=False, so the channelizer->squared-PLL->frame feed (with
+    its different group delay and f32 rounding) had zero coverage."""
+    from rtsdr_tpu.pipeline.groups import GroupDecoder
+
+    from oracles import encode_rds_blocks, rds_baseband
+
+    k = 4
+    n_blocks = 12
+    bs = MODE0.block_size
+    n_iq = n_blocks * bs // 2
+
+    # station in slot 1: PS 'WIDE RDS' via 0A groups (seg cycling),
+    # TA=1 MS=1; ~0.73 groups/block
+    pi, pty = 0x4D58, 5
+    ps = "WIDE RDS"
+    words = []
+    for g in range(40 * n_blocks):
+        seg = g % 4
+        b = ((0 << 12) | (0 << 11) | (1 << 10) | (pty << 5)
+             | (1 << 4) | (1 << 3) | seg)
+        words.extend([pi, b, 0,
+                      (ord(ps[2 * seg]) << 8) | ord(ps[2 * seg + 1])])
+    wave = rds_baseband(encode_rds_blocks(words))
+    u8 = synth_multiplex_iq(n_iq, rds_wave=wave, quantize=False)
+    xi = u8[0::2] + 1j * u8[1::2]
+    up = signal.resample_poly(xi, k, 1)
+    wide = up * np.exp(2j * np.pi * 1 * np.arange(len(up)) / k)
+    wide /= max(1.0, np.abs(wide).max() / 0.95)
+    raw = np.empty(2 * len(wide), np.float64)
+    raw[0::2] = wide.real
+    raw[1::2] = wide.imag
+    raw_u8 = np.clip(np.round(raw * 128 + 128), 0, 255).astype(np.uint8)
+
+    # the CLI's defaults: RDS + frame + resync on, abs clock
+    init_fn, step_fn = make_wideband_receiver(
+        MODE0, k, use_abs_clock=True, resync=True)
+    state = init_fn()
+    step = jax.jit(step_fn)
+    wbs = k * bs
+    decs = [GroupDecoder() for _ in range(k)]
+    sync_positions = [[] for _ in range(k)]
+    for b in range(n_blocks):
+        state, out = step(state, jnp.asarray(raw_u8[b * wbs:(b + 1) * wbs]))
+        fo = out.rds
+        for ch in range(k):
+            fo_ch = jax.tree.map(lambda a: np.asarray(a)[ch], fo)
+            decs[ch].feed(fo_ch)
+            nw = int(fo_ch.n_windows)
+            sync = np.asarray(fo_ch.is_sync)[:nw]
+            posn = np.asarray(fo_ch.positions)[:nw]
+            sync_positions[ch].extend(posn[sync].tolist())
+
+    # slot 1: syndrome cadence (26-bit lattice, mostly consecutive)
+    syncs = sync_positions[1]
+    assert len(syncs) >= 20, f"too few syncs in slot 1: {len(syncs)}"
+    spacings = np.diff(syncs)
+    assert np.all(spacings % 26 == 0), spacings
+    assert np.mean(spacings == 26) > 0.6, spacings
+    # slot 1: group payloads
+    dec = decs[1]
+    assert len(dec.groups) >= 5, f"only {len(dec.groups)} groups"
+    assert dec.pi == pi and dec.pty == pty
+    assert dec.ps_name == ps
+    assert dec.ta == 1 and dec.ms == 1
+    # empty slots assemble nothing
+    for ch in (0, 2, 3):
+        assert len(decs[ch].groups) == 0, f"slot {ch} decoded phantom groups"
+
+
 def test_channel_center_freqs():
     f = channel_center_freqs(4, 9.6e6)
     np.testing.assert_allclose(f, [0.0, 2.4e6, -4.8e6, -2.4e6])
