@@ -57,6 +57,12 @@ def main(argv=None) -> int:
                         "bandwidth-preserving gains (NCO stays full-rate): "
                         "~N x faster carrier recovery on TPU, same lock "
                         "behavior; 1 = golden-model parity")
+    p.add_argument("--rds-ec", action="store_true",
+                   help="burst error correction on RDS blocks: repair "
+                        "<=5-bit bursts via the (26,16) code's syndrome "
+                        "table (IEC 62106 annex B) — higher group yield "
+                        "under impulsive interference; the reference only "
+                        "detects errors. Off by default for parity")
     p.add_argument("--resync", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="reset the sync anchor after >10 bad syndromes "
@@ -70,6 +76,16 @@ def main(argv=None) -> int:
                         "into K stations decoded in one batched step, "
                         "writing channel<k>.wav per station (the "
                         "reference needs one dongle pipe per station)")
+    p.add_argument("--wideband-centers", type=str, default=None,
+                   metavar="F0,F1,...",
+                   help="with --wideband K: real station center frequencies "
+                        "relative to the capture center (Hz; 'M'/'k' "
+                        "suffixes ok, e.g. '+0.1M,-0.9M').  Each is "
+                        "assigned to its nearest channel slot and the "
+                        "residual offset is mixed out at the channel rate "
+                        "— OFF-GRID stations on the 100/200 kHz raster "
+                        "decode at full quality (the reference retunes "
+                        "the dongle per station instead)")
     p.add_argument("--scan", action="store_true",
                    help="with --wideband K: don't decode, just survey the "
                         "band — per-channel RSSI, 19 kHz pilot SNR and "
@@ -111,6 +127,8 @@ def main(argv=None) -> int:
         kwargs["resync"] = True
     if args.pll_div != 1:
         kwargs["pll_loop_div"] = args.pll_div
+    if args.rds_ec:
+        kwargs["error_correct"] = True
     if args.stereo_blend:
         kwargs["stereo_blend"] = True
 
@@ -123,6 +141,13 @@ def main(argv=None) -> int:
         return _batch_decode(cfg, args.stations, args.blocks, kwargs,
                              rds_groups=args.rds_groups)
     if args.wideband:
+        if args.wideband_centers:
+            offsets, err = _centers_to_offsets(cfg, args.wideband,
+                                               args.wideband_centers)
+            if err:
+                print(f"error: {err}", file=sys.stderr)
+                return 1
+            kwargs["channel_offsets_hz"] = offsets
         return _wideband_decode(cfg, args.wideband, args.blocks, kwargs,
                                 rds_groups=args.rds_groups)
 
@@ -162,9 +187,11 @@ def main(argv=None) -> int:
         if wav_w is not None:
             wav_w.close()
 
+    corr = (f", {stats['rds_corrected']} corrected"
+            if stats.get("rds_corrected") else "")
     print(f"processed {stats['blocks']} blocks, "
           f"{stats['rds_events']} RDS syncs "
-          f"({stats['rds_false_positives']} false positives)",
+          f"({stats['rds_false_positives']} false positives{corr})",
           file=sys.stderr)
     if decoder is not None:
         _print_rds_summary(decoder)
@@ -220,16 +247,15 @@ def _print_rds_summary(decoder, prefix: str = "") -> None:
 
 def _batch_decode(cfg, files, max_blocks, kwargs, rds_groups=False) -> int:
     """Decode N stations as one channel-batched receiver (the multi-station
-    deployment shape, driven from capture files)."""
+    deployment shape, driven from capture files).  Each file gets its own
+    prefetching C++ reader and emission of block b overlaps block b+1's
+    compute (io/batch.py BatchRunner) — the host loop no longer paces the
+    device at high N."""
     import os
 
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
+    from rtsdr_tpu.io.batch import BatchRunner
     from rtsdr_tpu.io.stream import format_rds_events
     from rtsdr_tpu.io.wav import WavStreamWriter
-    from rtsdr_tpu.pipeline.receiver import Receiver
 
     missing = [f for f in files if not os.path.isfile(f)]
     if missing:
@@ -238,35 +264,32 @@ def _batch_decode(cfg, files, max_blocks, kwargs, rds_groups=False) -> int:
         return 1
 
     n = len(files)
-    rx = Receiver(cfg, (n,), **kwargs)
-    state = rx.init()
     decoders = _station_decoders(n, cfg, kwargs, rds_groups)
     handles = [open(f, "rb") for f in files]
     writers: list = [None] * n  # opened on first block; stream per block
-    blocks = 0
     events = 0
+
+    def emit(c, left, right):
+        if writers[c] is None:
+            writers[c] = WavStreamWriter(files[c] + ".wav",
+                                         fs=int(cfg.audio_fs))
+        writers[c].write_float(left, right)
+
+    def rds_hook(c, fo):
+        nonlocal events
+        for line in format_rds_events(fo):
+            print(f"[{files[c]}] {line}", file=sys.stderr)
+            events += 1
+        if decoders is not None:
+            _feed_groups(decoders, c, fo, f"[{files[c]}] ")
+
+    want_rds = kwargs.get("enable_rds") is not False and cfg.rds is not None
     try:
-        while max_blocks is None or blocks < max_blocks:
-            raws = [h.read(cfg.block_size) for h in handles]
-            if any(len(r) < cfg.block_size for r in raws):
-                break
-            batch = jnp.asarray(
-                np.stack([np.frombuffer(r, np.uint8) for r in raws]))
-            state, out = rx.step(state, batch)
-            for c in range(n):
-                if writers[c] is None:
-                    writers[c] = WavStreamWriter(files[c] + ".wav",
-                                                 fs=int(cfg.audio_fs))
-                writers[c].write_float(np.asarray(out.left[c]),
-                                       np.asarray(out.right[c]))
-                if out.rds is not None:
-                    fo = jax.tree.map(lambda x, c=c: x[c], out.rds)
-                    for line in format_rds_events(fo):
-                        print(f"[{files[c]}] {line}", file=sys.stderr)
-                        events += 1
-                    if decoders is not None:
-                        _feed_groups(decoders, c, fo, f"[{files[c]}] ")
-            blocks += 1
+        with BatchRunner(cfg, [h.fileno() for h in handles],
+                         **kwargs) as runner:
+            stats = runner.run(emit=emit,
+                               rds_hook=rds_hook if want_rds else None,
+                               max_blocks=max_blocks)
     finally:
         for h in handles:
             h.close()
@@ -274,8 +297,8 @@ def _batch_decode(cfg, files, max_blocks, kwargs, rds_groups=False) -> int:
             if w is not None:
                 w.close()
 
-    print(f"processed {blocks} blocks x {n} stations, {events} RDS events",
-          file=sys.stderr)
+    print(f"processed {stats['blocks']} blocks x {n} stations, "
+          f"{events} RDS events", file=sys.stderr)
     if decoders is not None:
         for c in range(n):
             _print_rds_summary(decoders[c], prefix=f"[{files[c]}] ")
@@ -300,6 +323,47 @@ def _feed_groups(decoders, c, fo, label):
 
     for g in decoders[c].feed(fo):
         print(f"{label}{format_group(g)}", file=sys.stderr)
+
+
+def _parse_freq(s: str) -> float:
+    """'98.1M' / '-200k' / '150000' -> Hz."""
+    s = s.strip()
+    mult = 1.0
+    if s and s[-1] in "Mm":
+        mult, s = 1e6, s[:-1]
+    elif s and s[-1] in "Kk":
+        mult, s = 1e3, s[:-1]
+    return float(s) * mult
+
+
+def _centers_to_offsets(cfg, k, spec):
+    """Map real station centers (relative to the capture center) onto the
+    K-slot grid: each listed frequency claims its NEAREST slot, and the
+    residual becomes that slot's mix-out offset.  Returns (offsets, err)."""
+    import numpy as np
+
+    from rtsdr_tpu.ops.channelizer import channel_center_freqs
+
+    slots = channel_center_freqs(k, k * cfg.rf.fs)
+    fs_w = k * cfg.rf.fs
+    offsets = np.zeros(k)
+    taken: dict = {}
+    for tok in spec.split(","):
+        if not tok.strip():
+            continue
+        try:
+            f = _parse_freq(tok)
+        except ValueError:
+            return None, f"bad frequency {tok!r}"
+        # wrapped distance on the fs_w circle (slot 0 covers both edges)
+        d = np.abs(np.mod(f - slots + fs_w / 2, fs_w) - fs_w / 2)
+        c = int(np.argmin(d))
+        if c in taken:
+            return None, (f"{tok.strip()} and {taken[c]} both map to "
+                          f"channel {c} ({slots[c] / 1e6:+.1f}M)")
+        taken[c] = tok.strip()
+        offsets[c] = np.mod(f - slots[c] + fs_w / 2, fs_w) - fs_w / 2
+    return offsets, None
 
 
 def _band_scan(cfg, k, max_blocks) -> int:
@@ -360,35 +424,58 @@ def _wideband_decode(cfg, k, max_blocks, kwargs, rds_groups=False) -> int:
     state = jax.tree.map(lambda x: jnp.array(x, copy=True), init_fn())
     step = jax.jit(step_fn, donate_argnums=0)
     freqs = channel_center_freqs(k, k * cfg.rf.fs)
+    offs = kwargs.get("channel_offsets_hz")
+    if offs is not None:
+        freqs = freqs + np.asarray(offs)
     print("wideband channel centers (Hz):",
-          " ".join(f"{f / 1e6:+.1f}M" for f in freqs), file=sys.stderr)
+          " ".join(f"{f / 1e6:+.3g}M" for f in freqs), file=sys.stderr)
 
     wbs = k * cfg.block_size
     writers: list = [None] * k
     decoders = _station_decoders(k, cfg, kwargs, rds_groups)
     blocks = 0
     events = 0
+
+    def drain(out):
+        """Emit one block's outputs: ONE device->host fetch per leaf,
+        then row slices — the round-3 loop fetched per channel (K
+        transfers) and would pace a live capture at K >= 16."""
+        nonlocal events
+        if out is None:
+            return
+        left = np.asarray(out.left)
+        right = np.asarray(out.right)
+        rds = (jax.tree.map(np.asarray, out.rds)
+               if out.rds is not None else None)
+        for c in range(k):
+            if writers[c] is None:
+                writers[c] = WavStreamWriter(f"channel{c}.wav",
+                                             fs=int(cfg.audio_fs))
+            writers[c].write_float(left[c], right[c])
+            if rds is not None:
+                fo = jax.tree.map(lambda x, c=c: x[c], rds)
+                for line in format_rds_events(fo):
+                    print(f"[ch{c}] {line}", file=sys.stderr)
+                    events += 1
+                if decoders is not None:
+                    _feed_groups(decoders, c, fo, f"[ch{c}] ")
+
+    from rtsdr_tpu.runtime import BlockReader
+
+    pending = None
     try:
-        while max_blocks is None or blocks < max_blocks:
-            raw = sys.stdin.buffer.read(wbs)
-            if len(raw) < wbs:
-                break
-            state, out = step(state, jnp.asarray(
-                np.frombuffer(raw, np.uint8)))
-            for c in range(k):
-                if writers[c] is None:
-                    writers[c] = WavStreamWriter(f"channel{c}.wav",
-                                                 fs=int(cfg.audio_fs))
-                writers[c].write_float(np.asarray(out.left[c]),
-                                       np.asarray(out.right[c]))
-                if out.rds is not None:
-                    fo = jax.tree.map(lambda x, c=c: x[c], out.rds)
-                    for line in format_rds_events(fo):
-                        print(f"[ch{c}] {line}", file=sys.stderr)
-                        events += 1
-                    if decoders is not None:
-                        _feed_groups(decoders, c, fo, f"[ch{c}] ")
-            blocks += 1
+        # prefetching C++ reader + one-block-lag drain: stdin reads and
+        # host emission both overlap device compute
+        with BlockReader(sys.stdin.fileno(), wbs) as reader:
+            while max_blocks is None or blocks < max_blocks:
+                raw = reader.read_block()
+                if raw is None:
+                    break
+                state, out = step(state, jnp.asarray(raw))
+                drain(pending)
+                pending = out
+                blocks += 1
+        drain(pending)
     finally:
         for w in writers:
             if w is not None:

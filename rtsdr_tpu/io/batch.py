@@ -1,0 +1,100 @@
+"""Multi-fd batched streaming: N capture streams -> ONE batched device step.
+
+The reference's deployment model is one dongle pipe into one process
+(src/iofunc.cpp:61-69); its ingest ceiling is therefore one pipe's
+bandwidth.  A single chip decodes hundreds of station-equivalents
+(PERF.md), so the host must aggregate MANY pipes: here each fd gets its
+own prefetching C++ BlockReader (runtime/ingest.cpp slot pool, one
+producer thread per fd), the N blocks land in the rows of one pinned
+staging array (``BlockReader.read_block_into`` — no per-block
+allocations), and the device sees a single (N, block_size) transfer per
+step.  Output fetch/emission of block b overlaps block b+1's compute,
+exactly like the single-station ``StreamRunner`` (io/stream.py) — the
+round-3 review flagged that the CLI's batch/wideband loops fetched
+per-channel synchronously and would pace a live capture at K >= 16.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtsdr_tpu.config import ReceiverConfig
+from rtsdr_tpu.pipeline.receiver import Receiver
+from rtsdr_tpu.runtime import BlockReader
+
+
+class BatchRunner:
+    """N byte streams decoded as one channel-batched receiver."""
+
+    def __init__(self, cfg: ReceiverConfig, fds: list[int],
+                 dtype=jnp.float32, **kwargs):
+        self.cfg = cfg
+        self.n = len(fds)
+        self.readers = [BlockReader(fd, cfg.block_size) for fd in fds]
+        self.rx = Receiver(cfg, (self.n,), dtype, **kwargs)
+        self._staging = np.empty((self.n, cfg.block_size), np.uint8)
+
+    def close(self) -> None:
+        for r in self.readers:
+            r.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def read_batch(self) -> np.ndarray | None:
+        """Fill the staging array from all N readers; None when ANY
+        stream hits EOF (streams advance in lock-step, as the batched
+        state requires)."""
+        for c, r in enumerate(self.readers):
+            if not r.read_block_into(self._staging[c]):
+                return None
+        return self._staging
+
+    def run(
+        self,
+        emit: Callable[[int, np.ndarray, np.ndarray], None] | None = None,
+        rds_hook: Callable[[int, object], None] | None = None,
+        max_blocks: int | None = None,
+    ) -> dict:
+        """Process blocks until EOF on any stream; returns stats.
+
+        emit(channel, left, right): per-station float audio per block.
+        rds_hook(channel, FrameOutputs): per-station frame outputs
+        (already sliced to the channel — feed a GroupDecoder, print
+        events, ...).
+        """
+        state = self.rx.init()
+        n_blocks = 0
+        pending = None
+
+        def drain(out):
+            if out is None:
+                return
+            # ONE device->host fetch per output leaf, then row slices
+            left = np.asarray(out.left)
+            right = np.asarray(out.right)
+            rds = (jax.tree.map(np.asarray, out.rds)
+                   if out.rds is not None and rds_hook is not None else None)
+            for c in range(self.n):
+                if emit is not None:
+                    emit(c, left[c], right[c])
+                if rds is not None:
+                    rds_hook(c, jax.tree.map(lambda x, c=c: x[c], rds))
+
+        while max_blocks is None or n_blocks < max_blocks:
+            batch = self.read_batch()
+            if batch is None:
+                break
+            state, out = self.rx.step(state, jnp.asarray(batch))
+            drain(pending)   # overlap: emit block b-1 while b computes
+            pending = out
+            n_blocks += 1
+        drain(pending)
+        return {"blocks": n_blocks, "stations": self.n}

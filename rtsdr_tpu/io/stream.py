@@ -31,11 +31,14 @@ def format_rds_events(frame_out) -> list[str]:
     fp = np.asarray(frame_out.is_false_pos)
     pos = np.asarray(frame_out.positions)
     resync = np.asarray(frame_out.is_resync)
+    corr = np.asarray(frame_out.corrected)
     for w in range(n_w):
         if sid[w]:
             name = SYNDROME_NAMES[int(sid[w]) - 1]
+            fixed = " (corrected)" if corr[w] else ""
             if sync[w]:
-                lines.append(f"Syndrome {name} at position {int(pos[w])}")
+                lines.append(
+                    f"Syndrome {name} at position {int(pos[w])}{fixed}")
             elif fp[w]:
                 lines.append(
                     f"False positive Syndrome {name} at position {int(pos[w])}")
@@ -73,10 +76,11 @@ class StreamRunner:
         n_blocks = 0
         n_syncs = 0
         n_false_pos = 0
+        n_corrected = 0
         pending = None  # outputs of the previous block, fetched lazily
 
         def drain(out):
-            nonlocal n_syncs, n_false_pos
+            nonlocal n_syncs, n_false_pos, n_corrected
             if out is None:
                 return
             left = np.asarray(out.left)
@@ -95,6 +99,8 @@ class StreamRunner:
                 n_syncs += int(np.sum(np.asarray(out.rds.is_sync)[:n_w]))
                 n_false_pos += int(
                     np.sum(np.asarray(out.rds.is_false_pos)[:n_w]))
+                n_corrected += int(
+                    np.sum(np.asarray(out.rds.corrected)[:n_w]))
 
         with BlockReader(fd_in, cfg.block_size) as reader:
             while max_blocks is None or n_blocks < max_blocks:
@@ -107,4 +113,5 @@ class StreamRunner:
                 n_blocks += 1
         drain(pending)
         return {"blocks": n_blocks, "rds_events": n_syncs,
-                "rds_false_positives": n_false_pos}
+                "rds_false_positives": n_false_pos,
+                "rds_corrected": n_corrected}

@@ -75,6 +75,51 @@ SYNDROME_NAMES = ["A", "B", "C", "D", "C'"]
 
 CARRY_BITS = 27  # model/fmRDSblock.py:346 carries position-1 onward
 
+_BURST_SPAN = 5  # the (26,16) shortened cyclic code corrects <=5-bit bursts
+
+
+def _burst_table() -> tuple[np.ndarray, np.ndarray]:
+    """Syndrome -> burst-error lookup for the RDS (26,16) code.
+
+    Every burst of span <= 5 inside the 26-bit block maps to a UNIQUE
+    nonzero 10-bit syndrome under H (367 patterns, zero collisions —
+    asserted here at build time), so correction is one table lookup off
+    the syndrome the frame layer already computes.  The reference only
+    *detects* (src/fm_radio.cpp:631-646); IEC 62106 annex B specifies
+    exactly this burst-correction capability.
+
+    Returns (corr_flag, err_info, err_span): ``corr_flag[s]`` = 1 if
+    syndrome ``s`` is a correctable burst, ``err_info[s]`` = the 16 info
+    bits of the error pattern (to XOR onto the received info word),
+    ``err_span[s]`` = the burst's span in bits (1..5; 0 where not
+    correctable).  Check-bit error bits need no repair — the payload is
+    only the info word.  The span disambiguates between offset words:
+    the table covers ~36% of the 10-bit syndrome space, so a genuinely
+    corrupted block usually hits it for a WRONG offset too — but chance
+    hits are overwhelmingly long bursts (268/367 entries have span >= 4)
+    while real click/noise errors are short, so "smallest span wins,
+    ties reject" keeps nearly all true repairs and almost no false ones.
+    """
+    pow2 = 1 << np.arange(9, -1, -1)
+    corr_flag = np.zeros(1024, np.int32)
+    err_info = np.zeros(1024, np.int32)
+    err_span = np.zeros(1024, np.int32)
+    for span in range(1, _BURST_SPAN + 1):
+        for start in range(0, 26 - span + 1):
+            for inter in [0] if span <= 2 else range(1 << (span - 2)):
+                bits = np.zeros(26, np.int64)
+                bits[start] = 1
+                if span >= 2:
+                    bits[start + span - 1] = 1
+                for k in range(span - 2):
+                    bits[start + 1 + k] = (inter >> k) & 1
+                s = int(((bits @ H_MATRIX) % 2) @ pow2)
+                assert s != 0 and not corr_flag[s], "burst syndromes collide"
+                corr_flag[s] = 1
+                err_info[s] = int(bits[:16] @ (1 << np.arange(15, -1, -1)))
+                err_span[s] = span
+    return corr_flag, err_info, err_span
+
 def _gardner_ted_slope(sps: int, rrc: np.ndarray) -> float:
     """Expected Gardner TED S-curve slope (error units per sample of
     timing offset) for Manchester chips matched-filtered by ``rrc``.
@@ -163,6 +208,9 @@ class FrameOutputs(NamedTuple):
     #                          MSB-first (payload for group decoding — the
     #                          reference stops at syndromes,
     #                          src/fm_radio.cpp:649-696)
+    corrected: jax.Array     # (W_MAX,) bool: syndrome repaired by burst
+    #                          correction (error_correct=True); info_word
+    #                          and syndrome_id already reflect the repair
 
 
 def frame_init(cfg: ReceiverConfig, dtype=jnp.float32) -> FrameState:
@@ -193,7 +241,7 @@ def frame_sizes(cfg: ReceiverConfig) -> tuple[int, int, int, int]:
 
 
 def resolve_sync(sid, w_valid, base_pos, last_position, bad_count,
-                 *, resync: bool):
+                 *, resync: bool, corr=None):
     """Resolve which syndrome matches are accepted 26-spaced syncs.
 
     Semantics identical to the reference's sequential walk
@@ -201,6 +249,13 @@ def resolve_sync(sid, w_valid, base_pos, last_position, bad_count,
     or exactly 26 bits after the last accepted sync; other matches are
     false positives.  With ``resync`` (the C++ recovery mechanism), >10
     consecutive false positives reset the anchor.
+
+    ``corr`` (optional bool array): windows whose syndrome was REPAIRED by
+    burst correction.  Corrected windows extend an existing 26-spaced
+    chain (they are accepted only at on-chain positions, never as the
+    anchor — a repaired match is too weak evidence to start a lattice
+    on), never count as false positives, and never trip the resync
+    counter.
 
     Without resync the recurrence has a closed form — no sequential scan:
     acceptances within a block form ONE arithmetic chain of 26-spaced
@@ -220,21 +275,28 @@ def resolve_sync(sid, w_valid, base_pos, last_position, bad_count,
     w_max = sid.shape[-1]
     w = jnp.arange(w_max, dtype=i32)
     positions = base_pos + w
+    if corr is None:
+        corr = jnp.zeros((w_max,), jnp.bool_)
 
     if not resync:
         is_match = (sid > 0) & w_valid
+        full = is_match | (corr & w_valid)
         synced = last_position >= 0
         w_chain = last_position + 26 - base_pos
+        # the anchor (chain start when entering unsynced) must be an
+        # EXACT match — corrected windows only continue a chain
         w_first = jnp.argmax(is_match).astype(i32)
         start = jnp.where(synced, w_chain, w_first)
         delta = w - start
         on_chain = (delta >= 0) & (delta % 26 == 0)
         # synced with the chain slot already behind this block: nothing
-        # can be accepted (gp-last==26 unreachable; matches the walk)
-        possible = jnp.logical_or(~synced, w_chain >= 0)
-        fails = on_chain & ~is_match
+        # can be accepted (gp-last==26 unreachable; matches the walk).
+        # Unsynced with no exact match: nothing can anchor (argmax's 0
+        # must not let a corrected window at w=0 start a chain).
+        possible = jnp.where(synced, w_chain >= 0, jnp.any(is_match))
+        fails = on_chain & ~full
         cum_fails = jnp.cumsum(fails.astype(i32))
-        is_sync = on_chain & is_match & (cum_fails == 0) & possible
+        is_sync = on_chain & full & (cum_fails == 0) & possible
         is_fp = is_match & ~is_sync
         is_resync = jnp.zeros((w_max,), jnp.bool_)
         any_acc = jnp.any(is_sync)
@@ -244,10 +306,11 @@ def resolve_sync(sid, w_valid, base_pos, last_position, bad_count,
 
     def scan_fn(carry, inp):
         last_pos, bad = carry
-        sid_w, gp, valid = inp
+        sid_w, gp, valid, corr_w = inp
         is_match = (sid_w > 0) & valid
         ok = (last_pos < 0) | (gp - last_pos == 26)
-        real = is_match & ok
+        real = (is_match & ok) | (corr_w & valid & (last_pos >= 0)
+                                  & (gp - last_pos == 26))
         fp = is_match & ~ok
         last_pos = jnp.where(real, gp, last_pos)
         bad = jnp.where(real, 0, jnp.where(fp, bad + 1, bad))
@@ -257,14 +320,14 @@ def resolve_sync(sid, w_valid, base_pos, last_position, bad_count,
         return (last_pos, bad), (real, fp, fire)
 
     ((new_last, new_bad), (is_sync, is_fp, is_resync)) = jax.lax.scan(
-        scan_fn, (last_position, bad_count), (sid, positions, w_valid),
-        unroll=8)
+        scan_fn, (last_position, bad_count),
+        (sid, positions, w_valid, corr), unroll=8)
     return is_sync, is_fp, is_resync, new_last, new_bad
 
 
 def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
                use_abs_clock: bool = False, resync: bool = False,
-               with_cprime: bool = True):
+               with_cprime: bool = True, error_correct: bool = False):
     """Returns ``frame(state, rrc_i, rrc_q) -> (outputs, new_state)``.
 
     Operates per channel (1-D inputs of length cfg.rds_len); ``jax.vmap``
@@ -276,6 +339,14 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
     (src/fm_radio.cpp:479-482), so on a standards-compliant signal its
     sync chain breaks at every version-B group; pass False only for
     strict reference-parity comparisons.  syndrome_id 5 = C'.
+
+    ``error_correct`` (off by default for reference/golden parity) enables
+    the (26,16) code's burst correction (<=5-bit bursts, IEC 62106 annex
+    B): a non-matching window whose error syndrome hits the burst table
+    for exactly ONE offset word is repaired — its info bits are XOR-fixed
+    and it extends an existing 26-spaced sync chain (never anchors one;
+    see resolve_sync).  The ``corrected`` output column counts repairs.
+    The reference detects errors only (src/fm_radio.cpp:631-646).
 
     ``resync=True`` adds the C++'s recovery mechanism (src/fm_radio.cpp:
     699-704): after >10 consecutive wrongly-spaced syndrome matches the
@@ -497,12 +568,53 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         pow2 = jnp.asarray(2.0 ** np.arange(15, -1, -1), jnp.float32)
         info_word = (windows27[:, :16].astype(jnp.float32) @ pow2).astype(i32)
 
+        if error_correct:
+            # burst correction: error syndrome = syndrome XOR offset-word
+            # syndrome; a hit in the (collision-free) burst table repairs
+            # the block.  All arithmetic rides the same exact-float32
+            # dots as the syndrome matmul: the 1024-entry lookup is a
+            # one-hot contraction, not a gather (vmapped per-channel
+            # gathers are slow on TPU).
+            pow2s = jnp.asarray(2.0 ** np.arange(9, -1, -1), jnp.float32)
+            synd_int = (synd.astype(jnp.float32) @ pow2s).astype(i32)
+            offs_np = np.asarray(
+                SYNDROMES if with_cprime else SYNDROMES[:4])
+            off_int = jnp.asarray(
+                (offs_np @ (1 << np.arange(9, -1, -1))).astype(np.int32))
+            e_syn = jnp.bitwise_xor(synd_int[:, None], off_int[None, :])
+            flag_np, errinfo_np, errspan_np = _burst_table()
+            eq = (e_syn[..., None]
+                  == jnp.arange(1024, dtype=i32)).astype(jnp.float32)
+            corr_ok = eq @ jnp.asarray(flag_np, jnp.float32)    # (W, O)
+            err_info = eq @ jnp.asarray(errinfo_np, jnp.float32)
+            err_span = eq @ jnp.asarray(errspan_np, jnp.float32)
+            # several offset words usually "explain" a corrupted block
+            # (chance table hits); the SHORTEST burst is the credible
+            # repair — accept it only when it is strictly shortest
+            # (ties reject) and the window didn't already match exactly
+            cost = jnp.where(corr_ok > 0, err_span, jnp.inf)
+            best = jnp.min(cost, axis=-1)
+            n_best = jnp.sum((cost == best[:, None]).astype(i32), axis=-1)
+            corr = jnp.isfinite(best) & (n_best == 1) & (sid == 0)
+            o_sel = jnp.argmin(cost, axis=-1).astype(i32)
+            sel_hot = (jnp.arange(off_int.shape[0], dtype=i32)[None, :]
+                       == o_sel[:, None]).astype(jnp.float32)
+            err_sel = jnp.sum(err_info * sel_hot, axis=-1).astype(i32)
+            info_word = jnp.where(
+                corr, jnp.bitwise_xor(info_word, err_sel), info_word)
+        else:
+            corr = jnp.zeros((w_max,), jnp.bool_)
+
         positions = state.base_pos + w
         w_valid = w < n_windows
 
+        # resolve sees exact matches (sid) and repairs (corr) separately:
+        # repairs may only CONTINUE a chain; the merged id is for output
         (is_sync, is_fp, is_resync, last_position, bad_count) = resolve_sync(
             sid, w_valid, state.base_pos, state.last_position,
-            state.bad_count, resync=resync)
+            state.bad_count, resync=resync, corr=corr)
+        if error_correct:
+            sid = jnp.where(corr, o_sel + 1, sid)
 
         # carry = ext[n_windows-1 : n_windows-1+27] — a one-hot row-select
         # of windows27 (gather-free; the float32 dot is exact for 0/1 data)
@@ -515,7 +627,7 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
             n_sym=n_sym, symbols_i=sym_i, symbols_q=sym_q,
             n_windows=n_windows, syndrome_id=sid, is_sync=is_sync,
             is_false_pos=is_fp, positions=positions, is_resync=is_resync,
-            info_word=info_word)
+            info_word=info_word, corrected=corr & is_sync)
         new_state = FrameState(
             offset=new_offset, start_pos=start_pos_carry, lonely_bit=lonely,
             prebit=prebit_new, first_block=jnp.zeros((), jnp.bool_),

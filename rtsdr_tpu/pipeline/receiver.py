@@ -65,6 +65,7 @@ def make_receiver(
     offset_mode: str = "hold",
     use_abs_clock: bool = False,
     resync: bool = False,
+    error_correct: bool = False,
     pll_impl: str = "auto",
     deemphasis: float | None = None,
     frontend_impl: str = "auto",
@@ -147,7 +148,8 @@ def make_receiver(
     frame_fn = None
     if enable_rds and enable_frame:
         frame_fn = make_frame(cfg, offset_mode=offset_mode,
-                              use_abs_clock=use_abs_clock, resync=resync)
+                              use_abs_clock=use_abs_clock, resync=resync,
+                              error_correct=error_correct)
         for _ in batch_shape:
             frame_fn = jax.vmap(frame_fn)
 

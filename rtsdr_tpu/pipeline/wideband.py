@@ -34,6 +34,7 @@ from rtsdr_tpu.pipeline.receiver import ReceiverState, make_receiver
 class WidebandState(NamedTuple):
     chan_zi: jax.Array       # channelizer carried input tail (complex)
     rx: ReceiverState        # batched per-channel receiver state
+    mix_phase: jax.Array | None = None  # (K,) carried residual-NCO phase
 
 
 def make_wideband_receiver(
@@ -43,6 +44,7 @@ def make_wideband_receiver(
     dtype=jnp.float32,
     taps_per_branch: int = 16,
     channel_sharding=None,
+    channel_offsets_hz=None,
     **receiver_kwargs,
 ):
     """Build ``(init_fn, step_fn)`` for a K-channel wideband receiver.
@@ -57,10 +59,29 @@ def make_wideband_receiver(
     mesh — the channelizer's banded matmul splits its output columns
     across the channel axis and everything downstream stays local
     (parallel/channels.py ``make_wideband_sharded_receiver``).
+
+    ``channel_offsets_hz``: optional length-K residual frequency offset
+    per slot — OFF-GRID station support.  A real band's 100/200 kHz
+    raster does not align with the ``k * fs_w / K`` channel grid (the
+    reference sidesteps this by retuning the dongle per station,
+    src/fm_radio.cpp:736-764); here slot k's baseband is post-mixed by
+    ``exp(-2j*pi*offset_k*m/fs_ch)`` at the channel rate, with a carried
+    per-slot NCO phase so blocks chain continuously.  The PFB prototype
+    passes stations up to ~±(0.45*fs_ch - 100 kHz) off-center, so any
+    raster frequency inside the slot decodes with full quality.  The mix
+    rides the same (K, 2, M) planes the receivers read — two fused
+    elementwise FMAs per sample, no extra HBM round-trip.
     """
     k = n_rf_channels
     h = np.asarray(channelizer_taps(k, taps_per_branch))
     taps = len(h)
+
+    offs = None
+    if channel_offsets_hz is not None:
+        offs = np.asarray(channel_offsets_hz, np.float64)
+        assert offs.shape == (k,), f"need {k} offsets, got {offs.shape}"
+        if not np.any(offs):
+            offs = None
 
     init_rx, step_rx = make_receiver(
         cfg, (*batch_shape, k), dtype, frontend_impl="iq",
@@ -73,10 +94,19 @@ def make_wideband_receiver(
     m_per_block = cfg.block_size // 2  # per-channel samples per step
     use_u8 = dtype == jnp.float32 and m_per_block % 32 == 0
 
+    # per-sample NCO increment and its per-block phase advance are static
+    # (offsets are config, not data), so the carried phase stays small
+    # and float32-exact wrapping is done in float64 at trace time
+    if offs is not None:
+        mix_step = -2.0 * np.pi * offs / cfg.rf.fs          # rad/sample
+        blk_adv = np.mod(mix_step * m_per_block, 2.0 * np.pi)
+
     def init_fn() -> WidebandState:
         chan_zi = (channelizer_zi_u8(k, taps, batch_shape) if use_u8
                    else channelizer_zi(k, taps, batch_shape, cdtype))
-        return WidebandState(chan_zi=chan_zi, rx=init_rx())
+        mix_phase = (jnp.zeros((k,), dtype) if offs is not None else None)
+        return WidebandState(chan_zi=chan_zi, rx=init_rx(),
+                             mix_phase=mix_phase)
 
     def step_fn(state: WidebandState, raw_u8: jax.Array):
         if use_u8:
@@ -95,7 +125,26 @@ def make_wideband_receiver(
         if channel_sharding is not None:
             raw_iq = jax.lax.with_sharding_constraint(raw_iq,
                                                       channel_sharding)
+        mix_phase = state.mix_phase
+        if offs is not None:
+            # residual per-slot downconversion at the channel rate:
+            # (I + jQ) * exp(j*(phase_k + step_k*m))
+            m_idx = jnp.arange(m_per_block, dtype=dtype)
+            ang = (state.mix_phase[:, None]
+                   + jnp.asarray(mix_step, dtype)[:, None] * m_idx)
+            c, s = jnp.cos(ang), jnp.sin(ang)     # (K, M)
+            i_in = raw_iq[..., 0, :]
+            q_in = raw_iq[..., 1, :]
+            raw_iq = jnp.stack([i_in * c - q_in * s,
+                                i_in * s + q_in * c], axis=-2)
+            if channel_sharding is not None:
+                raw_iq = jax.lax.with_sharding_constraint(raw_iq,
+                                                          channel_sharding)
+            mix_phase = jnp.mod(state.mix_phase
+                                + jnp.asarray(blk_adv, dtype),
+                                dtype(2.0 * np.pi))
         rx_state, out = step_rx(state.rx, raw_iq)
-        return WidebandState(chan_zi=chan_zi, rx=rx_state), out
+        return WidebandState(chan_zi=chan_zi, rx=rx_state,
+                             mix_phase=mix_phase), out
 
     return init_fn, step_fn

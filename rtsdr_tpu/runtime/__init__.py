@@ -125,6 +125,26 @@ class BlockReader:
         self._lib.rtsdr_reader_release(self._h, slot)
         return block
 
+    def read_block_into(self, dst: np.ndarray) -> bool:
+        """Copy the next block into ``dst`` (shape (block_size,), uint8)
+        without an intermediate allocation; False at EOF.  This is the
+        multi-fd batch path: N readers fill the rows of one (N, bs)
+        staging array that becomes a single device transfer."""
+        assert dst.nbytes == self.block_size and dst.flags["C_CONTIGUOUS"]
+        if self._h is None:
+            buf = self._file.read(self.block_size)
+            if buf is None or len(buf) < self.block_size:
+                return False
+            dst[:] = np.frombuffer(buf, np.uint8)
+            return True
+        slot = self._lib.rtsdr_reader_acquire(self._h)
+        if slot < 0:
+            return False
+        ptr = self._lib.rtsdr_reader_slot(self._h, slot)
+        ctypes.memmove(dst.ctypes.data, ptr, self.block_size)
+        self._lib.rtsdr_reader_release(self._h, slot)
+        return True
+
     def close(self):
         if self._h is not None:
             self._lib.rtsdr_reader_destroy(self._h)

@@ -157,10 +157,71 @@ def test_track_mode_offset_12_survives():
     assert syncs >= 3
 
 
-def _sequential_sync_walk(sid, w_valid, base, last, bad, resync):
+def test_burst_error_correction_repairs_info_word():
+    """Flip a <=5-bit burst inside one 26-bit block of a clean stream:
+    with error_correct=True the frame layer must repair it — the window
+    reports its true offset word, is_sync holds through it, `corrected`
+    marks it, and the REPAIRED info word equals the transmitted one.
+    Without correction the same stream shows a hole in the chain."""
+    rng = np.random.default_rng(0xEC)
+    infos = [int(x) for x in rng.integers(0, 1 << 16, 40)]
+    bits = encode_rds_blocks(infos)
+    # corrupt block 9 (a B block, position 9*26..9*26+25): 5-bit burst
+    victim = 9
+    burst_at = victim * 26 + 7
+    bits_bad = bits.copy()
+    bits_bad[burst_at:burst_at + 5] ^= np.array([1, 0, 1, 1, 1])
+    n_blocks = 4
+
+    def run(stream_bits, error_correct):
+        symbols = _symbols_for_bits(stream_bits)
+        blocks = _blocks_from_symbols(symbols, 6, n_blocks)
+        frame_fn = jax.jit(make_frame(MODE0, error_correct=error_correct))
+        state = frame_init(MODE0, dtype=jnp.float64)
+        events = []
+        for blk in blocks:
+            j = jnp.asarray(blk)
+            out, state = frame_fn(state, j, j)
+            for w in range(int(out.n_windows)):
+                if bool(out.is_sync[w]):
+                    events.append((int(out.positions[w]),
+                                   int(out.syndrome_id[w]),
+                                   int(out.info_word[w]),
+                                   bool(out.corrected[w])))
+        return events
+
+    clean = run(bits, False)
+    fixed = run(bits_bad, True)
+    broken = run(bits_bad, False)
+    # without EC (and without resync) the chain breaks at the corrupted
+    # block and NEVER recovers — the burst costs the victim window and
+    # every window after it
+    clean_pos = [p for p, *_ in clean]
+    broken_pos = {p for p, *_ in broken}
+    missing = [p for p in clean_pos if p not in broken_pos]
+    pos_victim = missing[0]
+    assert missing == [p for p in clean_pos if p >= pos_victim], (
+        clean_pos, broken_pos)
+    assert len(missing) >= 2  # victim + at least one downstream casualty
+    # with EC the stream decodes event-for-event like the clean one,
+    # with exactly one window flagged corrected: the repaired victim
+    assert [(p, s, i) for p, s, i, _ in fixed] \
+        == [(p, s, i) for p, s, i, _ in clean]
+    assert sum(c for *_, c in fixed) == 1
+    ((pos_fixed, sid_fixed, info_fixed, _),) = [e for e in fixed if e[3]]
+    assert pos_fixed == pos_victim
+    assert sid_fixed == 2  # block 9 is a B block (9 % 4 == 1)
+    assert info_fixed == infos[victim]
+
+
+def _sequential_sync_walk(sid, w_valid, base, last, bad, resync, corr=None):
     """Numpy transcription of the reference's sequential sync walk
-    (src/fm_radio.cpp:649-713) — oracle for resolve_sync."""
+    (src/fm_radio.cpp:649-713) — oracle for resolve_sync.  ``corr``
+    windows (burst-repaired) continue a chain but never anchor one,
+    never count as false positives, never touch the resync counter."""
     n = len(sid)
+    if corr is None:
+        corr = np.zeros(n, bool)
     is_sync = np.zeros(n, bool)
     is_fp = np.zeros(n, bool)
     is_rs = np.zeros(n, bool)
@@ -168,7 +229,8 @@ def _sequential_sync_walk(sid, w_valid, base, last, bad, resync):
         gp = base + w_i
         match = sid[w_i] > 0 and w_valid[w_i]
         ok = last < 0 or gp - last == 26
-        real = match and ok
+        real = (match and ok) or (
+            corr[w_i] and w_valid[w_i] and last >= 0 and gp - last == 26)
         fp = match and not ok
         if real:
             last = gp
@@ -181,12 +243,14 @@ def _sequential_sync_walk(sid, w_valid, base, last, bad, resync):
     return is_sync, is_fp, is_rs, last, bad
 
 
+@pytest.mark.parametrize("with_corr", [False, True])
 @pytest.mark.parametrize("resync", [False, True])
-def test_resolve_sync_matches_sequential_walk(resync):
+def test_resolve_sync_matches_sequential_walk(resync, with_corr):
     """Property test: the vectorized closed form (and the scan) must equal
     the sequential walk over random match patterns and entry states —
     including synced-with-chain-behind (w_chain < 0), mid-block chain
-    breaks, and dense false-positive storms."""
+    breaks, dense false-positive storms, and (with_corr) random
+    burst-repaired windows interleaved with exact matches."""
     from rtsdr_tpu.pipeline.frame import resolve_sync
 
     rng = np.random.default_rng(0xF00)
@@ -194,6 +258,9 @@ def test_resolve_sync_matches_sequential_walk(resync):
     for trial in range(200):
         density = rng.choice([0.02, 0.1, 0.5, 0.95])
         sid = (rng.random(w_max) < density) * rng.integers(1, 5, w_max)
+        corr = None
+        if with_corr:
+            corr = (rng.random(w_max) < rng.choice([0.05, 0.3])) & (sid == 0)
         n_windows = int(rng.integers(1, w_max + 1))
         w_valid = np.arange(w_max) < n_windows
         base = int(rng.integers(0, 500))
@@ -202,12 +269,14 @@ def test_resolve_sync_matches_sequential_walk(resync):
                                base - 26 + int(rng.integers(0, 30)),
                                base - int(rng.integers(27, 80))]))
         bad = int(rng.integers(0, 12))
-        ref = _sequential_sync_walk(sid, w_valid, base, last, bad, resync)
+        ref = _sequential_sync_walk(sid, w_valid, base, last, bad, resync,
+                                    corr)
         got = resolve_sync(jnp.asarray(sid, jnp.int32),
                            jnp.asarray(w_valid),
                            jnp.asarray(base, jnp.int32),
                            jnp.asarray(last, jnp.int32),
-                           jnp.asarray(bad, jnp.int32), resync=resync)
+                           jnp.asarray(bad, jnp.int32), resync=resync,
+                           corr=None if corr is None else jnp.asarray(corr))
         for k, (r, g) in enumerate(zip(ref, got)):
             np.testing.assert_array_equal(
                 np.asarray(g), r,

@@ -42,6 +42,68 @@ def test_emit_int16(rng):
         out[1::2], np.clip(right * 16384.0, -32768, 32767).astype(np.int16))
 
 
+def test_block_reader_read_into(tmp_path):
+    """read_block_into fills a caller row without allocation — the
+    multi-fd staging path (io/batch.py) — and matches read_block."""
+    data = np.arange(256, dtype=np.uint8).tobytes() * 100
+    f = tmp_path / "stream.bin"
+    f.write_bytes(data)
+    fd = os.open(str(f), os.O_RDONLY)
+    dst = np.empty((3, 6400), np.uint8)
+    with BlockReader(fd, 6400) as reader:
+        assert reader.read_block_into(dst[0])
+        assert reader.read_block_into(dst[1])
+        assert reader.read_block_into(dst[2])
+        assert reader.read_block_into(dst[0]) and True  # more available
+    os.close(fd)
+    ref = np.frombuffer(data, np.uint8)
+    np.testing.assert_array_equal(dst[1], ref[6400:2 * 6400])
+    np.testing.assert_array_equal(dst[2], ref[2 * 6400:3 * 6400])
+
+
+def test_batch_runner_matches_single_station(tmp_path):
+    """Two capture files through BatchRunner == each through its own
+    single-station receiver, bit-exact (same jitted math, batched)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtsdr_tpu.config import MODE0
+    from rtsdr_tpu.io.batch import BatchRunner
+    from rtsdr_tpu.pipeline.receiver import make_receiver
+
+    n_blocks = 2
+    bs = MODE0.block_size
+    paths = []
+    caps = []
+    for i, tone in enumerate((1.1e3, 0.7e3)):
+        u8 = synth_multiplex_iq(n_blocks * bs // 2, mono_hz=tone)
+        p = tmp_path / f"cap{i}.iq"
+        p.write_bytes(u8.tobytes())
+        paths.append(str(p))
+        caps.append(u8)
+
+    got = {0: [], 1: []}
+    fds = [os.open(p, os.O_RDONLY) for p in paths]
+    with BatchRunner(MODE0, fds, enable_rds=False) as runner:
+        stats = runner.run(emit=lambda c, l, r: got[c].append((l.copy(),
+                                                               r.copy())))
+    for fd in fds:
+        os.close(fd)
+    assert stats == {"blocks": n_blocks, "stations": 2}
+
+    init_fn, step_fn = make_receiver(MODE0, (), jnp.float32,
+                                     enable_rds=False)
+    step = jax.jit(step_fn)
+    for c in range(2):
+        state = init_fn()
+        for b in range(n_blocks):
+            state, out = step(state,
+                              jnp.asarray(caps[c][b * bs:(b + 1) * bs]))
+            np.testing.assert_array_equal(got[c][b][0], np.asarray(out.left))
+            np.testing.assert_array_equal(got[c][b][1],
+                                          np.asarray(out.right))
+
+
 def test_block_reader_prefetch(tmp_path):
     data = np.arange(1000, dtype=np.uint8).tobytes() * 30  # 30000 bytes
     f = tmp_path / "stream.bin"

@@ -118,6 +118,52 @@ def test_detuned_station_decodes():
         f"stereo separation lost under detuning: {amp} vs {expected}")
 
 
+def test_error_correction_raises_yield_under_clicks():
+    """Burst error correction (frame.py error_correct, beyond the
+    reference's detection-only syndrome check src/fm_radio.cpp:631-646)
+    under impulsive interference — the error regime burst codes exist
+    for.  Stationary AWGN is the WRONG fixture here: FM's wideband noise
+    advantage means the RDS bit stream decodes error-free right up to
+    the PLL's cliff (verified while building this test: rms 0.2..1.3
+    all gave identical sync counts), so EC never fires on it.  A strong
+    ~0.6 ms click (~1.5 RDS symbols before the 3 kHz LPF + RRC smear it)
+    produces exactly the 1-2 bit bursts the (26,16) code corrects; one
+    repaired block also saves the whole downstream sync chain from the
+    re-acquisition gap."""
+    n_blocks = 10
+    rng = np.random.default_rng(0x404)
+    bits = encode_rds_blocks(rng.integers(0, 2, (40 * n_blocks, 16)))
+    wave = rds_baseband(bits)
+    n = n_blocks * MODE0.block_size // 2
+    iq = synth_multiplex_iq(n, rds_wave=wave, quantize=False)
+    click = 1500
+    starts = rng.integers(MODE0.block_size, len(iq) // 2 - click, 8) * 2
+    for s in starts:
+        iq[s:s + 2 * click] += 2.5 * rng.standard_normal(2 * click)
+    u8 = np.clip(np.round(iq * 100.0 + 128.0), 0, 255).astype(np.uint8)
+
+    def run(ec):
+        init_fn, step_fn = make_receiver(MODE0, dtype=jnp.float32,
+                                         use_abs_clock=True, resync=True,
+                                         error_correct=ec)
+        state = init_fn()
+        step = jax.jit(step_fn)
+        bs = MODE0.block_size
+        syncs = corrected = 0
+        for b in range(n_blocks):
+            state, out = step(state, jnp.asarray(u8[b * bs:(b + 1) * bs]))
+            syncs += int(np.sum(np.asarray(out.rds.is_sync)))
+            corrected += int(np.sum(np.asarray(out.rds.corrected)))
+        return syncs, corrected
+
+    syncs_off, corr_off = run(False)
+    syncs_on, corr_on = run(True)
+    assert corr_off == 0
+    assert corr_on >= 1, f"EC never fired: {corr_on}"
+    assert syncs_on >= syncs_off + 5, (
+        f"EC did not raise yield: {syncs_on} vs {syncs_off}")
+
+
 def test_heavy_noise_no_crash():
     """Garbage-dominated input: no NaNs, no exceptions, bounded audio."""
     n_blocks = 3

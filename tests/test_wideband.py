@@ -173,9 +173,98 @@ def test_wideband_rds_decodes_per_channel():
         assert len(decs[ch].groups) == 0, f"slot {ch} decoded phantom groups"
 
 
+def test_wideband_off_grid_station_decodes():
+    """OFF-GRID support (channel_offsets_hz): a station 150 kHz off its
+    slot center — a real 100 kHz-raster frequency that the k*fs_w/K grid
+    cannot hit — must decode with full stereo separation once the
+    per-slot residual NCO mixes it to baseband, and must NOT decode
+    without the offset (the 100 kHz RF LPF kills a 150 kHz-detuned
+    station; the reference retunes the dongle instead,
+    src/fm_radio.cpp:736-764).  Also checks the carried NCO phase chains
+    blocks continuously (tones stay clean across the 3-block run)."""
+    k = 4
+    n_blocks = 3
+    bs = MODE0.block_size
+    n_iq = n_blocks * bs // 2
+    off_hz = 150e3
+    fs_w = k * MODE0.rf.fs
+
+    u8 = synth_multiplex_iq(n_iq, mono_hz=1.1e3, quantize=False)
+    xi = u8[0::2] + 1j * u8[1::2]
+    up = signal.resample_poly(xi, k, 1)
+    f_sta = (1 * fs_w / k) + off_hz       # slot 1 center + 150 kHz
+    wide = up * np.exp(2j * np.pi * f_sta * np.arange(len(up)) / fs_w)
+    wide /= max(1.0, np.abs(wide).max() / 0.95)
+    raw = np.empty(2 * len(wide), np.float64)
+    raw[0::2] = wide.real
+    raw[1::2] = wide.imag
+    raw_u8 = np.clip(np.round(raw * 128 + 128), 0, 255).astype(np.uint8)
+
+    offs = np.zeros(k)
+    offs[1] = off_hz
+
+    def run(offsets):
+        init_fn, step_fn = make_wideband_receiver(
+            MODE0, k, enable_rds=False, enable_stereo=True,
+            channel_offsets_hz=offsets)
+        state = init_fn()
+        step = jax.jit(step_fn)
+        wbs = k * bs
+        l_all, r_all = [], []
+        for b in range(n_blocks):
+            state, out = step(state,
+                              jnp.asarray(raw_u8[b * wbs:(b + 1) * wbs]))
+            l_all.append(np.asarray(out.left))
+            r_all.append(np.asarray(out.right))
+        return (np.concatenate(l_all, -1)[:, MODE0.audio_len:],
+                np.concatenate(r_all, -1)[:, MODE0.audio_len:])
+
+    left, right = run(offs)
+    mono_amp = _tone_amp(left[1] + right[1], 1.1e3) / 2
+    assert mono_amp > 0.35, f"off-grid mono lost: {mono_amp}"
+    # full stereo separation: the 2.3 kHz L-R tone survives the mix-out
+    sep = _tone_amp(left[1] - right[1], 2.3e3)
+    expected = 2 * np.pi * 75e3 * 0.45 / 240e3
+    assert sep > 0.8 * expected, f"off-grid stereo separation: {sep}"
+
+    left0, right0 = run(None)             # no correction: station is gone
+    assert _tone_amp(left0[1] + right0[1], 1.1e3) / 2 < 0.1 * mono_amp
+
+
 def test_channel_center_freqs():
     f = channel_center_freqs(4, 9.6e6)
     np.testing.assert_allclose(f, [0.0, 2.4e6, -4.8e6, -2.4e6])
+
+
+def test_cli_centers_to_offsets():
+    """--wideband-centers maps real raster frequencies to nearest-slot
+    residual offsets, with suffix parsing, wrap-around (the fs_w circle),
+    and same-slot collisions rejected."""
+    from rtsdr_tpu.cli import _centers_to_offsets, _parse_freq
+
+    assert _parse_freq("98.1M") == 98.1e6
+    assert _parse_freq("-200k") == -200e3
+    assert _parse_freq("150000") == 150e3
+
+    offs, err = _centers_to_offsets(MODE0, 4, "+2.5M,-2.3M")
+    assert err is None
+    np.testing.assert_allclose(offs, [0.0, 0.1e6, 0.0, 0.1e6])
+
+    # -4.7M is nearest slot 2 (center -4.8M)
+    offs, err = _centers_to_offsets(MODE0, 4, "-4.7M")
+    assert err is None
+    np.testing.assert_allclose(offs, [0.0, 0.0, 0.1e6, 0.0])
+
+    # 4.9M reaches slot 2 across the fs_w wrap (9.6M circle)
+    offs, err = _centers_to_offsets(MODE0, 4, "4.9M")
+    assert err is None
+    np.testing.assert_allclose(offs, [0.0, 0.0, 0.1e6, 0.0])
+
+    _, err = _centers_to_offsets(MODE0, 4, "2.3M,2.5M")
+    assert err is not None and "both map" in err
+
+    _, err = _centers_to_offsets(MODE0, 4, "oops")
+    assert err is not None
 
 
 def test_u8_channelizer_matches_complex_path(rng):

@@ -1,12 +1,22 @@
-"""Host-side ingest throughput: the C++ BlockReader's GB/s ceiling.
+"""Host ingest aggregation bench: N pipes -> one batched staging array.
 
-DEPLOY.md sizes deployments against per-station ingest (4.8 MB/s at
-mode-0 rates); this measures how fast the native reader + slot pool
-(rtsdr_tpu/runtime/ingest.cpp) can actually move uint8 blocks from a
-pipe into reusable buffers on this host — the stage that feeds
-jax.device_put.  No TPU involved.
+DEPLOY.md measured ONE pipe at ~1.16 GB/s (~240 station-equivalents at
+2.4 MB/s per station) while the chip decodes ~830 mono station-equivalents
+— the single-pipe model the reference uses (src/iofunc.cpp:61-69) is the
+deployment bottleneck.  This bench aggregates N pipes, each with its own
+prefetching C++ BlockReader (runtime/ingest.cpp producer thread + slot
+pool), into the rows of one staging array per step
+(io/batch.py BatchRunner.read_batch path) and reports aggregate GB/s.
 
-Usage:  python tools/bench_ingest.py [--blocks 2000] [--out PERF_extras.json]
+Usage:
+    python tools/bench_ingest.py --pipes 1 2 4 8 --blocks 400
+    python tools/bench_ingest.py --pipes 4 --device   # + device transfer
+
+Writers are threads pushing a pre-generated block in a loop, so the
+numbers measure the pipe+reader+staging path, not synthesis.  Pass
+--device to extend the path through jnp.asarray + a trivial jitted
+reduction per step (transfer-bound, shows the staging array feeding the
+chip keeps up).
 """
 
 from __future__ import annotations
@@ -15,57 +25,114 @@ import argparse
 import json
 import os
 import sys
+import threading
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from rtsdr_tpu.config import MODE0  # noqa: E402
-from rtsdr_tpu.runtime import BlockReader  # noqa: E402
+from rtsdr_tpu.runtime import BlockReader, have_native  # noqa: E402
 
 
-def measure(n_blocks: int, block_size: int) -> dict:
-    # pump from a subprocess (`head -c N /dev/zero`) so the write side
-    # isn't Python-bound; this measures the reader thread + slot pool
-    import subprocess
+def _writer(fd: int, block: bytes, n_blocks: int) -> None:
+    try:
+        for _ in range(n_blocks):
+            view = memoryview(block)
+            while view:
+                n = os.write(fd, view)
+                view = view[n:]
+    except BrokenPipeError:
+        pass
+    finally:
+        os.close(fd)
 
-    total = n_blocks * block_size
-    proc = subprocess.Popen(["head", "-c", str(total), "/dev/zero"],
-                            stdout=subprocess.PIPE)
-    reader = BlockReader(proc.stdout.fileno(), block_size)
-    got = 0
+
+def run_one(n_pipes: int, n_blocks: int, block_size: int,
+            device: bool = False) -> dict:
+    block = np.random.default_rng(0).integers(
+        0, 256, block_size, dtype=np.uint8).tobytes()
+    pipes = [os.pipe() for _ in range(n_pipes)]
+    threads = [
+        threading.Thread(target=_writer, args=(w, block, n_blocks),
+                         daemon=True)
+        for _, w in pipes
+    ]
+    readers = [BlockReader(r, block_size) for r, _ in pipes]
+    staging = np.empty((n_pipes, block_size), np.uint8)
+
+    step = None
+    if device:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _touch(x):
+            # cheapest op that forces the full transfer to be consumed
+            return jnp.sum(x, dtype=jnp.int32)
+
+        def step(arr):
+            return _touch(jnp.asarray(arr))
+
+    for t in threads:
+        t.start()
     t0 = time.perf_counter()
+    got = 0
+    dev_out = None
     while True:
-        blk = reader.read_block()
-        if blk is None:
+        ok = all(r.read_block_into(staging[c])
+                 for c, r in enumerate(readers))
+        if not ok:
             break
+        if step is not None:
+            dev_out = step(staging)
         got += 1
+    if dev_out is not None:
+        dev_out.block_until_ready()
     dt = time.perf_counter() - t0
-    proc.wait()
-    assert got == n_blocks, (got, n_blocks)
-    gb = got * block_size / 1e9
+    for r in readers:
+        r.close()
+    for _, w in pipes:
+        try:
+            os.close(w)
+        except OSError:
+            pass
+
+    gb = got * n_pipes * block_size / 1e9
     return {
-        "metric": "host_ingest_gbytes_per_sec",
-        "value": round(gb / dt, 2),
-        "unit": "GB/s",
+        "pipes": n_pipes,
         "blocks": got,
-        "block_size": block_size,
-        "stations_at_mode0_realtime": int(gb / dt * 1e9 / 4.8e6),
+        "gb": round(gb, 3),
+        "seconds": round(dt, 3),
+        "gb_per_s": round(gb / dt, 3),
+        "stations_equiv": int(gb / dt / (2 * MODE0.rf.fs / 1e9)),
+        "device": device,
     }
 
 
-def main() -> int:
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--blocks", type=int, default=2000)
-    p.add_argument("--out", default=None)
-    args = p.parse_args()
-    rec = max((measure(args.blocks, MODE0.block_size) for _ in range(3)),
-              key=lambda r: r["value"])
-    print(json.dumps(rec))
-    if args.out:
-        with open(args.out, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-    return 0
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pipes", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--blocks", type=int, default=400,
+                    help="blocks per pipe per measurement")
+    ap.add_argument("--block-size", type=int, default=MODE0.block_size)
+    ap.add_argument("--device", action="store_true",
+                    help="extend the path through jnp.asarray + a jitted "
+                         "reduction per step")
+    args = ap.parse_args()
+
+    print(f"native reader: {have_native()}", file=sys.stderr)
+    base = None  # (pipes, rate) of the first measurement
+    for n in args.pipes:
+        r = run_one(n, args.blocks, args.block_size, device=args.device)
+        if base is None:
+            base = (n, r["gb_per_s"])
+        # per-pipe rate vs the first run's per-pipe rate (1.0 = linear)
+        r["scaling_eff"] = round(
+            (r["gb_per_s"] / n) / (base[1] / base[0]), 3)
+        print(json.dumps(r))
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
