@@ -251,11 +251,12 @@ def _resample_geom(n: int, up: int, down: int, t1: int,
                 continue
             # total MXU work ~ nblk * K * padded-out-width, plus a
             # per-grid-step overhead term: these dots are ~1 us of MXU
-            # work each, so step count matters as much as FLOPs
-            # (measured on the RDS x19/80 resampler: block 608 runs
-            # 1.24 vs 1.47 ms at 1024 ch / 1.14 vs 1.35 at 256 ch over
-            # the pure-FLOP choice 304; blocks past the VMEM cap
-            # regress).  1<<20 cost units ~ one step's overhead.
+            # work each, so step count matters as much as FLOPs.  Re-
+            # checked round 4 for the stacked-branch kernel with the
+            # interleaved-min duel (tools/profile_resample.py): block
+            # 608 ranks at or above 304 across quiet and busy windows
+            # (e.g. 0.63 vs 0.69 ms / 0.90 vs 1.01 ms at 1024 ch), so
+            # the 1<<20 overhead weight that selects it stays.
             cost = (m // b) * ((h_w + a_w) * bp + (1 << 20))
             if best is None or cost < best[0]:
                 best = (cost, b, a_w, h_w)
@@ -280,43 +281,36 @@ def _resample_h(h: np.ndarray, up: int, down: int, b: int, hw: int,
     return np.where(valid, h64[np.clip(k, 0, t1)], 0.0).astype(np.float32)
 
 
-def _resample_mix_kernel(eh, ea, ih, ia, qh, qa, h_ref, yi, yq):
+def _resample_mix_kernel(eh, ea, ih, ia, qh, qa, h_ref, yi, yq, w_ref,
+                         *, tile_c: int, hw: int):
     """One (channel-tile, output-block) step of mixer + resampler.
 
     Builds the two mixed IF-rate streams (2*extract*nco_i/q) directly in
     VMEM from their head/A input blocks, truncates to bf16 (numerically
     identical to the XLA path's windows: TPU f32 dots truncate operands
-    anyway) and contracts both against the shared phase-banded matrix in
-    ONE dot (branches stacked on the sublane axis).  The head block's
-    contribution is masked at j=0 where it is semantically the left
-    zero-pad."""
+    anyway) and contracts both in ONE dot against the phase-banded matrix,
+    the I/Q branches stacked on the sublane axis of a bf16 scratch so the
+    (2*tile_c, K) operand fills all 128 MXU rows (at the production
+    tile_c=64 the previous per-branch split dots ran the MXU half-empty:
+    one stacked dot measures 0.86 vs 1.14 ms at 1024 ch / block 304 —
+    round-4 A/B, tools/profile_resample.py; the 2021-round-3 hypothesis
+    that per-step VMEM copies dominated is retired by the same probe).
+    The head block's contribution is masked at j=0 where it is
+    semantically the left zero-pad."""
     j = pl.program_id(1)
     mask = (j > 0).astype(jnp.float32)
-    hw = eh.shape[1]
-    dn = (((1,), (0,)), ((), ()))
-    # Split dots instead of lane/sublane concatenates: the wide
-    # concatenated window buffers were the stage's real cost — measured
-    # taps-INVARIANT time (2.3 ms whether the filter had 3001 or 761
-    # taps at 1024 ch), i.e. bound by the per-step VMEM copies, not the
-    # MXU.  Four narrow products (head/body x I/Q) feed four dots
-    # against the filter's row halves; the i32/f32 accumulation order
-    # per output is unchanged (head rows + body rows, exact f32 adds of
-    # independently-computed dot results as before).
     e_h2 = eh[...] * (2.0 * mask)
     e_a2 = ea[...] * 2.0
-    h_h = h_ref[:hw]
-    h_a = h_ref[hw:]
-
-    def halfdot(w_h, w_a):
-        return (jax.lax.dot_general(w_h.astype(jnp.bfloat16), h_h,
-                                    dimension_numbers=dn,
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(w_a.astype(jnp.bfloat16), h_a,
-                                      dimension_numbers=dn,
-                                      preferred_element_type=jnp.float32))
-
-    yi[...] = halfdot(e_h2 * ih[...], e_a2 * ia[...])
-    yq[...] = halfdot(e_h2 * qh[...], e_a2 * qa[...])
+    w_ref[:tile_c, :hw] = (e_h2 * ih[...]).astype(jnp.bfloat16)
+    w_ref[:tile_c, hw:] = (e_a2 * ia[...]).astype(jnp.bfloat16)
+    w_ref[tile_c:, :hw] = (e_h2 * qh[...]).astype(jnp.bfloat16)
+    w_ref[tile_c:, hw:] = (e_a2 * qa[...]).astype(jnp.bfloat16)
+    o = jax.lax.dot_general(
+        w_ref[...], h_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    yi[...] = o[:tile_c]
+    yq[...] = o[tile_c:]
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7), inline=True)
@@ -347,12 +341,13 @@ def _pallas_resample_mix(e, ni, nq, h_mat, b: int, a_w: int, tile_c: int,
     in_specs.append(pl.BlockSpec((hw + a_w, bp), lambda i, j: (0, 0),
                                  memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
-        _resample_mix_kernel,
+        functools.partial(_resample_mix_kernel, tile_c=tile_c, hw=hw),
         grid=(c // tile_c, nblk),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((tile_c, bp), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((c, nblk * bp), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((2 * tile_c, hw + a_w), jnp.bfloat16)],
         interpret=jax.default_backend() != "tpu",
     )(e, e, ni, ni, nq, nq, h_mat)
     if bp == b:
