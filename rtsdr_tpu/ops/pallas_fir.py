@@ -443,6 +443,230 @@ def resample_mul2(extract, nco_i, nco_q, h, zi, up: int, down: int,
     return y, new_zi
 
 
+def _resample_mix_rrc_kernel(eh, ea, ih, ia, qh, qa, h_ref, h2_ref,
+                             yi, yq, ri, rq, w_ref, w2_ref,
+                             *, tile_c: int, hw: int, hw2: int, bp: int):
+    """Mixer + resampler + RRC matched filter, one grid step.
+
+    The first dot is `_resample_mix_kernel` verbatim.  Its (2*tile_c, bp)
+    f32 result is then truncated to bf16 into the A-half of a persistent
+    rolling scratch whose head half holds the tail of the PREVIOUS output
+    block (grid iterates j fastest, so consecutive steps are consecutive
+    output blocks of one channel tile), and a second dot against a banded
+    RRC matrix emits the matched-filter output without the resampler
+    stream ever leaving VMEM.  The head half is zeroed at j=0 — there the
+    look-back is semantically the rrc_zi carry, applied outside in f32
+    (same boundary-matmul scheme as the resampler's own zi).  Replaces
+    the separate XLA RRC pass over the (c, 2, m) HBM intermediate
+    (reference chain: src/fm_radio.cpp:408-411, resample then RRC as two
+    block convolutions)."""
+    j = pl.program_id(1)
+    mask = (j > 0).astype(jnp.float32)
+    e_h2 = eh[...] * (2.0 * mask)
+    e_a2 = ea[...] * 2.0
+    w_ref[:tile_c, :hw] = (e_h2 * ih[...]).astype(jnp.bfloat16)
+    w_ref[:tile_c, hw:] = (e_a2 * ia[...]).astype(jnp.bfloat16)
+    w_ref[tile_c:, :hw] = (e_h2 * qh[...]).astype(jnp.bfloat16)
+    w_ref[tile_c:, hw:] = (e_a2 * qa[...]).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    o = jax.lax.dot_general(w_ref[...], h_ref[...], dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+    yi[...] = o[:tile_c]
+    yq[...] = o[tile_c:]
+
+    @pl.when(j == 0)
+    def _():
+        w2_ref[:, :hw2] = jnp.zeros((2 * tile_c, hw2), jnp.bfloat16)
+
+    w2_ref[:, hw2:] = o.astype(jnp.bfloat16)
+    r2 = jax.lax.dot_general(w2_ref[...], h2_ref[...], dimension_numbers=dn,
+                             preferred_element_type=jnp.float32)
+    ri[...] = r2[:tile_c]
+    rq[...] = r2[tile_c:]
+    # roll: keep the last hw2 lanes of this block for the next step
+    w2_ref[:, :hw2] = w2_ref[:, bp:]
+
+
+def _rrc_banded(rrc_h: np.ndarray, b: int, bp: int, hw2: int) -> np.ndarray:
+    """(hw2 + bp, bp) banded matrix for the in-kernel RRC dot.
+
+    Scratch lane p < hw2 holds previous-block output column (bp-hw2)+p;
+    lane hw2+p holds current column p.  Output column r of block j is
+    rrc[j*b + r] = sum_k rrc_h[k] * y[j*b + r - k]."""
+    t1r = len(rrc_h) - 1
+    h64 = np.asarray(rrc_h, np.float64)
+    m2 = np.zeros((hw2 + bp, bp), np.float64)
+    p = np.arange(hw2)[:, None]
+    r = np.arange(bp)[None, :]
+    k = b + r - (bp - hw2) - p          # previous block half
+    valid = (k >= 1) & (k <= t1r) & ((bp - hw2) + p < b) & (r < b)
+    m2[:hw2] = np.where(valid, h64[np.clip(k, 0, t1r)], 0.0)
+    p = np.arange(bp)[:, None]
+    k = r - p                            # current block half
+    valid = (k >= 0) & (k <= t1r) & (p < b) & (r < b)
+    m2[hw2:] = np.where(valid, h64[np.clip(k, 0, t1r)], 0.0)
+    return m2.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9), inline=True)
+def _pallas_resample_mix_rrc(e, ni, nq, h_mat, h2_mat, b: int, a_w: int,
+                             tile_c: int, hw: int, hw2: int):
+    c, n = e.shape
+    m = n * b // a_w
+    nblk = m // b
+    bp = -(-b // 128) * 128
+    ratio = a_w // hw
+
+    def head_map(i, j):
+        return (i, jnp.maximum(j * ratio - 1, 0))
+
+    def specs():
+        return [
+            pl.BlockSpec((tile_c, hw), head_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, a_w), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    in_specs = specs() + specs() + specs()
+    in_specs.append(pl.BlockSpec((hw + a_w, bp), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((hw2 + bp, bp), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        functools.partial(_resample_mix_rrc_kernel, tile_c=tile_c, hw=hw,
+                          hw2=hw2, bp=bp),
+        grid=(c // tile_c, nblk),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((tile_c, bp), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((c, nblk * bp), jnp.float32)] * 4,
+        scratch_shapes=[pltpu.VMEM((2 * tile_c, hw + a_w), jnp.bfloat16),
+                        pltpu.VMEM((2 * tile_c, hw2 + bp), jnp.bfloat16)],
+        interpret=jax.default_backend() != "tpu",
+    )(e, e, ni, ni, nq, nq, h_mat, h2_mat)
+    if bp == b:
+        return outs
+    return [o.reshape(c, nblk, bp)[..., :b].reshape(c, m) for o in outs]
+
+
+def resample_mul2_rrc(extract, nco_i, nco_q, h, zi, rrc_h, rrc_zi,
+                      up: int, down: int, gain: float | None = None,
+                      impl: str = "auto"
+                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """``resample_mul2`` with the RRC matched filter fused in-kernel.
+
+    Semantics: ``resamp, new_zi = resample_mul2(...)`` followed by
+    ``rrc, new_rrc_zi = fir_block(resamp, rrc_h, rrc_zi)`` — the
+    reference's back-to-back resampler + RRC block convolutions
+    (src/fm_radio.cpp:408-411) — returning (rrc, new_zi, new_rrc_zi).
+    On the fused path the (c, 2, m) resampler stream never leaves VMEM:
+    each grid step's resampler output block feeds a second banded dot
+    against the RRC matrix, with the previous block's tail carried in a
+    persistent scratch.  The carried states enter outside in f32:
+    rrc_zi through a triangular boundary matmul on the first taps-1
+    outputs, and the resampler's own zi boundary correction propagated
+    through the RRC by a second small matmul (linearity).  Falls back to
+    the unfused pair off-TPU or for ineligible geometries (e.g.
+    MODE1_RDS); the fallback is bitwise the unfused composition.
+    """
+    from rtsdr_tpu.ops.fir import _resample_boundary_index, fir_resample
+
+    if gain is None:
+        gain = float(up)
+    h_np = None
+    if not isinstance(h, jax.core.Tracer):
+        try:
+            h_np = np.asarray(h, np.float64)
+        except Exception:
+            h_np = None
+    rrc_np = None
+    if not isinstance(rrc_h, jax.core.Tracer):
+        try:
+            rrc_np = np.asarray(rrc_h, np.float64)
+        except Exception:
+            rrc_np = None
+    taps = len(h) if h_np is None else h_np.shape[0]
+    t1 = taps - 1
+    t1r = len(rrc_h) - 1
+    n = extract.shape[-1]
+    batch = extract.shape[:-1]
+    flat = int(np.prod(batch)) if batch else 1
+    geom = (_resample_geom(n, up, down, t1)
+            if h_np is not None and rrc_np is not None else None)
+    ok = (extract.dtype == jnp.float32 and geom is not None
+          and tile_channels(flat) and extract.ndim >= 2
+          and (jax.default_backend() == "tpu" or impl == "pallas"))
+    if ok:
+        b, a_w, h_w = geom
+        bp = -(-b // 128) * 128
+        hw2 = -(-(bp - b + t1r) // 128) * 128
+        m = n * up // down
+        kz38 = -(-t1 // down)
+        ok = (t1r < b and hw2 <= bp and m >= kz38 + t1r
+              and rrc_zi.shape[-1] == t1r)
+    if impl == "pallas" and not ok:
+        raise ValueError(
+            f"resample_mul2_rrc impl='pallas' ineligible: n={n} up={up} "
+            f"down={down} taps={taps} rrc_taps={t1r + 1} "
+            f"flat_batch={flat} dtype={extract.dtype} geom={geom}")
+    if impl == "xla" or not ok:
+        from rtsdr_tpu.ops.fir import fir_block
+
+        resamp, new_zi = resample_mul2(extract, nco_i, nco_q, h, zi,
+                                       up, down, gain=gain, impl=impl)
+        rrc, new_rrc_zi = fir_block(resamp, rrc_h, rrc_zi)
+        return rrc, new_zi, new_rrc_zi
+
+    tile_c = 64 if flat % 64 == 0 else tile_channels(flat)
+    h_mat = jnp.asarray(_resample_h(h_np, up, down, b, h_w, a_w, gain),
+                        jnp.bfloat16)
+    h2_mat = jnp.asarray(_rrc_banded(rrc_np, b, bp, hw2), jnp.bfloat16)
+    e2 = extract.reshape(flat, n)
+    yi, yq, ri, rq = _pallas_resample_mix_rrc(
+        e2, nco_i.reshape(flat, n), nco_q.reshape(flat, n), h_mat, h2_mat,
+        b, a_w, tile_c, h_w, hw2)
+    y = jnp.stack([yi, yq], axis=-2).reshape(*batch, 2, m)
+    rrc = jnp.stack([ri, rq], axis=-2).reshape(*batch, 2, m)
+
+    # resampler zi boundary (same as resample_mul2) ...
+    kz, validz = _resample_boundary_index(t1, up, down)
+    hz = jnp.asarray(np.where(validz, (h_np * gain)[kz], 0.0), jnp.float32)
+    c38 = jax.lax.dot_general(
+        zi, hz, dimension_numbers=(((zi.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # the resampler tail (-> next block's rrc_zi) is far from the zi
+    # boundary (m >= kz38 + t1r checked above), so it needs no correction
+    new_rrc_zi = y[..., -t1r:]
+
+    # ... its effect propagated through the RRC by linearity
+    i_idx = np.arange(kz.shape[0])[:, None]
+    mm = np.arange(kz.shape[0] + t1r)[None, :]
+    km = mm - i_idx
+    m38 = jnp.asarray(np.where((km >= 0) & (km <= t1r),
+                               rrc_np[np.clip(km, 0, t1r)], 0.0),
+                      jnp.float32)
+    rrc_c = jax.lax.dot_general(
+        c38, m38, dimension_numbers=(((c38.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # rrc_zi boundary: first t1r outputs read the carried RRC tail
+    ii = np.arange(t1r)[:, None]
+    mt = np.arange(t1r)[None, :]
+    kt = t1r + mt - ii
+    tri = jnp.asarray(np.where((kt >= 1) & (kt <= t1r) & (ii >= mt),
+                               rrc_np[np.clip(kt, 0, t1r)], 0.0),
+                      jnp.float32)
+    rrc_z = jax.lax.dot_general(
+        rrc_zi, tri, dimension_numbers=(((rrc_zi.ndim - 1,), (0,)),
+                                        ((), ())),
+        preferred_element_type=jnp.float32)
+    rrc = rrc.at[..., :t1r].add(rrc_z)
+    rrc = rrc.at[..., :kz.shape[0] + t1r].add(rrc_c)
+
+    new_zi = resample_mul2_tail(extract, nco_i, nco_q, t1, up)
+    return rrc, new_zi, new_rrc_zi
+
+
 def resample_mul2_tail(extract, nco_i, nco_q, t1: int, up: int) -> jax.Array:
     """The upsampled-domain carry ``resample_mul2`` returns as ``new_zi``:
     the zero-stuffed tail of the mixed stream, from the last ceil(t1/up)

@@ -120,17 +120,18 @@ def make_rds(cfg: ReceiverConfig, pll_impl: str = "auto",
                 norm_bandwidth=pcfg.norm_bandwidth, impl=pll_impl,
                 loop_div=pll_loop_div)
 
-        # I/Q mixers fused into the composed polyphase resampler: one
-        # Pallas pass does mixer + 3 kHz LPF + anti-image + decimation
-        # with neither the mixed IF-rate streams nor the im2col windows
-        # touching HBM (falls back to the stacked-mixer XLA matmul off
-        # TPU or when the geometry is ineligible, e.g. MODE1_RDS)
-        from rtsdr_tpu.ops.pallas_fir import resample_mul2
+        # I/Q mixers AND the RRC matched filter fused into the composed
+        # polyphase resampler: one Pallas pass does mixer + 3 kHz LPF +
+        # anti-image + decimation + RRC, with the mixed IF-rate streams,
+        # the im2col windows, and the (…, 2, rds_len) resampler stream
+        # all staying in VMEM (falls back to the unfused resampler +
+        # separate RRC pass off TPU or when the geometry is ineligible,
+        # e.g. MODE1_RDS — the fallback is bitwise that composition)
+        from rtsdr_tpu.ops.pallas_fir import resample_mul2_rrc
 
-        resamp, resamp_zi = resample_mul2(extract, nco_i, nco_q, comb_h,
-                                          state.resamp_zi, r.up, r.down,
-                                          impl=resamp_impl)
-        rrc, rrc_zi = fir_block(resamp, rrc_h, state.rrc_zi)
+        rrc, resamp_zi, rrc_zi = resample_mul2_rrc(
+            extract, nco_i, nco_q, comb_h, state.resamp_zi, rrc_h,
+            state.rrc_zi, r.up, r.down, impl=resamp_impl)
 
         new_state = RDSState(
             extract_zi=extract_zi, squared_zi=squared_zi, pll=pll_state,

@@ -164,6 +164,72 @@ class TestResampleMul2:
 
         assert _resample_geom(16000, 57, 250, 8700) is None
 
+    def test_rrc_fused_matches_composition(self, rng):
+        """resample_mul2_rrc == resample_mul2 then fir_block(rrc)."""
+        from rtsdr_tpu.config import MODE0
+        from rtsdr_tpu.ops.fir import fir_block
+        from rtsdr_tpu.ops.pallas_fir import resample_mul2, resample_mul2_rrc
+
+        h = self._comb()
+        r = MODE0.rds
+        rrc_h = coeffs.rrc_taps(r.rrc_fs, r.rrc_taps, r.rrc_beta,
+                                r.symbol_rate)
+        c, n = 32, 3840
+        t1 = len(h) - 1
+        t1r = len(rrc_h) - 1
+        e = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        ni = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        nq = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        zi = jnp.asarray(
+            rng.standard_normal((c, 2, t1)).astype(np.float32) * 0.1)
+        rrc_zi = jnp.asarray(
+            rng.standard_normal((c, 2, t1r)).astype(np.float32) * 0.1)
+        rrc, new_zi, new_rrc_zi = resample_mul2_rrc(
+            e, ni, nq, h, zi, rrc_h, rrc_zi, self.UP, self.DOWN,
+            impl="pallas")
+        resamp, ref_zi = resample_mul2(e, ni, nq, h, zi, self.UP,
+                                       self.DOWN, impl="pallas")
+        ref_rrc, ref_rrc_zi = fir_block(resamp, rrc_h, rrc_zi)
+        assert rrc.shape == ref_rrc.shape
+        np.testing.assert_allclose(np.asarray(rrc), np.asarray(ref_rrc),
+                                   rtol=0, atol=_bf16_tol(ref_rrc))
+        np.testing.assert_array_equal(np.asarray(new_zi),
+                                      np.asarray(ref_zi))
+        # tail is taken from the in-kernel resampler output (bitwise the
+        # resample_mul2 output there)
+        np.testing.assert_array_equal(np.asarray(new_rrc_zi),
+                                      np.asarray(ref_rrc_zi))
+
+    def test_rrc_fused_block_seam(self, rng):
+        """Chained fused blocks == one double fused block (carries enter
+        via f32 boundary matmuls at the seam -> bf16-scale tolerance)."""
+        from rtsdr_tpu.config import MODE0
+        from rtsdr_tpu.ops.pallas_fir import resample_mul2_rrc
+
+        h = self._comb()
+        r = MODE0.rds
+        rrc_h = coeffs.rrc_taps(r.rrc_fs, r.rrc_taps, r.rrc_beta,
+                                r.symbol_rate)
+        c, n = 32, 3840
+        t1, t1r = len(h) - 1, len(rrc_h) - 1
+        mk = lambda: jnp.asarray(
+            rng.standard_normal((c, 2 * n)).astype(np.float32))
+        e, ni, nq = mk(), mk(), mk()
+        zi0 = jnp.zeros((c, 2, t1), jnp.float32)
+        rzi0 = jnp.zeros((c, 2, t1r), jnp.float32)
+        y1, zi, rzi = resample_mul2_rrc(e[:, :n], ni[:, :n], nq[:, :n],
+                                        h, zi0, rrc_h, rzi0,
+                                        self.UP, self.DOWN, impl="pallas")
+        y2, _, _ = resample_mul2_rrc(e[:, n:], ni[:, n:], nq[:, n:],
+                                     h, zi, rrc_h, rzi,
+                                     self.UP, self.DOWN, impl="pallas")
+        y_full, _, _ = resample_mul2_rrc(e, ni, nq, h, zi0, rrc_h, rzi0,
+                                         self.UP, self.DOWN, impl="pallas")
+        chained = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+        full = np.asarray(y_full)
+        np.testing.assert_allclose(chained, full, rtol=0,
+                                   atol=_bf16_tol(full))
+
     @pytest.mark.parametrize("up,down,n,taps", [
         (3, 4, 1024, 31),     # fractional up
         (5, 2, 512, 41),      # net upsampling

@@ -47,7 +47,9 @@ def main() -> int:
         sid = np.asarray(fo.syndrome_id)
         ok = np.asarray(fo.is_sync)
         pos = np.asarray(fo.positions)
-        syncs += [(int(pos[w]), "ABCD"[sid[w] - 1])
+        from rtsdr_tpu.pipeline.frame import SYNDROME_NAMES
+
+        syncs += [(int(pos[w]), SYNDROME_NAMES[sid[w] - 1])
                   for w in range(int(fo.n_windows)) if sid[w] and ok[w]]
         audio.append(np.asarray(out.left))
 
@@ -62,9 +64,10 @@ def main() -> int:
     assert len(syncs) >= 8, "too few syndromes"
     assert np.all(spacings % 26 == 0), f"bad spacing {spacings}"
     # cyclic A->B->C->D order (the first flagged window depends on the
-    # capture's bit alignment, not on the decoder)
-    order = "ABCD"
-    idx = [order.index(n) for _, n in syncs]
+    # capture's bit alignment, not on the decoder); C' is block 3 of
+    # version-B groups, i.e. the C slot
+    slot = {"A": 0, "B": 1, "C": 2, "C'": 2, "D": 3}
+    idx = [slot[n] for _, n in syncs]
     steps = (np.diff(idx) - np.array([s // 26 for s in spacings])) % 4
     assert not np.any(steps), f"broken syndrome cycle {syncs}"
     assert abs(amp - 0.442) < 0.02
