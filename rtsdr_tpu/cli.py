@@ -51,12 +51,16 @@ def main(argv=None) -> int:
                         "weakens (the L-R subcarrier carries a ~20 dB "
                         "noise penalty; every car radio does this). The "
                         "reference always runs full stereo")
-    p.add_argument("--pll-div", type=int, default=1, choices=(1, 2, 4, 8),
-                   metavar="N",
+    p.add_argument("--pll-div", default="1",
+                   choices=("1", "2", "4", "8", "auto"), metavar="N",
                    help="run the PLL loop filter every N-th sample with "
                         "bandwidth-preserving gains (NCO stays full-rate): "
-                        "~N x faster carrier recovery on TPU, same lock "
-                        "behavior; 1 = golden-model parity")
+                        "~N x faster carrier recovery on TPU.  'auto' = 2, "
+                        "the widest division whose measured lock envelope "
+                        "(tools/pll_envelope.py, PERF.md) is clean for "
+                        "both loops: +/-200 Hz at the 19 kHz pilot and "
+                        "+/-500 Hz at the 114 kHz RDS carrier, both >50x "
+                        "any physical detune.  1 = golden-model parity")
     p.add_argument("--rds-ec", action="store_true",
                    help="burst error correction on RDS blocks: repair "
                         "<=5-bit bursts via the (26,16) code's syndrome "
@@ -125,8 +129,9 @@ def main(argv=None) -> int:
         kwargs["offset_mode"] = args.clock
     if args.resync:
         kwargs["resync"] = True
-    if args.pll_div != 1:
-        kwargs["pll_loop_div"] = args.pll_div
+    pll_div = 2 if args.pll_div == "auto" else int(args.pll_div)
+    if pll_div != 1:
+        kwargs["pll_loop_div"] = pll_div
     if args.rds_ec:
         kwargs["error_correct"] = True
     if args.stereo_blend:
