@@ -47,18 +47,35 @@ def _pick_block(block, stride_raw: int) -> int:
     return 64 if 64 * stride_raw >= 384 else 128
 
 
+def _pick_out_tile(out_tile, m_total: int, block: int) -> int:
+    """Default output-tile width: the widest of 512/256/128 that divides
+    the output length.  Wider tiles amortize the per-grid-step overhead
+    over more sub-dots — at 1024 ch / mode-0 geometry the 512 tile cuts
+    the kernel ~15% over 128 (interleaved-min duel,
+    tools/profile_ingest.py; outputs bitwise identical across widths).
+    Mode 1 (m_total=16000) only divides 128 and keeps the old grid."""
+    if out_tile is not None:
+        return out_tile
+    for ot in (512, 256, 128):
+        if m_total % ot == 0 and ot % block == 0:
+            return ot
+    return 128
+
+
 def _pallas_geom_ok(raw_u8, block: int, stride_raw: int, t1: int,
-                    halo: bool) -> bool:
+                    halo: bool, out_tile: int = 128) -> bool:
     """Shared Pallas-kernel eligibility for the fused ingest paths
-    (ingest_fir_decimate / ingest_fir_demod): 128-lane output tiles,
-    sub-blocks able to cover the 384-byte look-back, carried tail within
-    the head, and an aligned look-back ref width."""
+    (ingest_fir_decimate / ingest_fir_demod): out_tile-lane output tiles
+    (a multiple of Mosaic's 128), sub-blocks able to cover the 384-byte
+    look-back, carried tail within the head, and an aligned look-back
+    ref width."""
     m_total = (raw_u8.shape[-1] - (2 * t1 if halo else 0)) // stride_raw
-    bb = 128 * stride_raw
+    bb = out_tile * stride_raw
     return (not halo and raw_u8.ndim == 2
             and raw_u8.shape[0] % 32 == 0
-            and m_total % 128 == 0
-            and 128 % block == 0
+            and out_tile % 128 == 0
+            and m_total % out_tile == 0
+            and out_tile % block == 0
             and (block == 128 or block * stride_raw >= 384)
             and 2 * t1 <= 384
             and any(w >= 384 and bb % w == 0
@@ -258,8 +275,7 @@ def _pallas_ingest(raw_u8, h_mat, stride_raw: int, block: int,
     nothing else round-trips HBM (the XLA path materializes the windows
     and an i32 intermediate: ~5x the bytes).
     """
-    head, span_k, inv_scale = params
-    out_tile = 128  # Mosaic's output-lane requirement; block divides it
+    head, span_k, inv_scale, out_tile = params
     c, n = raw_u8.shape
     m_total = n // stride_raw
     nblk = m_total // out_tile
@@ -296,8 +312,7 @@ def _pallas_ingest_demod(raw_u8, h_mat, bnd_i, bnd_q, prev_i, prev_q,
     + RF FIR + FM discriminator.  s_out LANE 0 / LANE 1 hold the block's
     last i / q per channel (read them as s_out[:, 0] / s_out[:, 1]);
     the remaining lanes are unread junk from the kernel's lane-rotate."""
-    head, span_k, inv_scale = params
-    out_tile = 128
+    head, span_k, inv_scale, out_tile = params
     c, n = raw_u8.shape
     m_total = n // stride_raw
     nblk = m_total // out_tile
@@ -347,6 +362,7 @@ def ingest_fir_demod(
     decim: int,
     block: int | None = None,
     impl: str = "auto",
+    out_tile: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused uint8 ingest + RF FIR + exact FM discriminator.
 
@@ -367,7 +383,10 @@ def ingest_fir_demod(
     t1 = taps - 1
     stride_raw = 2 * decim
     block = _pick_block(block, stride_raw)
-    geom_ok = _pallas_geom_ok(raw_u8, block, stride_raw, t1, halo=False)
+    out_tile = _pick_out_tile(out_tile, raw_u8.shape[-1] // stride_raw,
+                              block)
+    geom_ok = _pallas_geom_ok(raw_u8, block, stride_raw, t1, halo=False,
+                              out_tile=out_tile)
     if impl == "auto":
         # interleaved A/B (v5e): the in-kernel demod epilogue (polynomial
         # atan2 on the VPU) serializes with the MXU dots inside the
@@ -402,12 +421,13 @@ def ingest_fir_demod(
             zi.astype(jnp.float32), hz,
             dimension_numbers=(((zi.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return jnp.pad(b, ((0, 0), (0, 128 - nb)))
+        return jnp.pad(b, ((0, 0), (0, out_tile - nb)))
 
     fm, s_out = _pallas_ingest_demod(
         raw_u8, jnp.asarray(h_mat), bnd(zi_i), bnd(zi_q),
         prev_i.astype(jnp.float32), prev_q.astype(jnp.float32),
-        stride_raw, block, tile_c, (head, span_k, 1.0 / (128.0 * s1)))
+        stride_raw, block, tile_c,
+        (head, span_k, 1.0 / (128.0 * s1), out_tile))
 
     tail = raw_u8[..., -2 * t1:]
     tail = (tail.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
@@ -424,6 +444,7 @@ def ingest_fir_decimate(
     block: int | None = None,
     halo: bool = False,
     impl: str = "auto",
+    out_tile: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """uint8 (..., 2N) interleaved IQ -> ((..., M) i, (..., M) q, new zis).
 
@@ -461,8 +482,10 @@ def ingest_fir_decimate(
     batch = raw_u8.shape[:-1]
 
     on_tpu = jax.default_backend() == "tpu"
+    out_tile = _pick_out_tile(out_tile, m_total, block)
     if impl == "auto":
-        pallas_ok = _pallas_geom_ok(raw_u8, block, stride_raw, t1, halo)
+        pallas_ok = _pallas_geom_ok(raw_u8, block, stride_raw, t1, halo,
+                                    out_tile=out_tile)
         impl = ("pallas" if on_tpu and pallas_ok
                 else "s8" if on_tpu else "f32")
 
@@ -472,7 +495,8 @@ def ingest_fir_decimate(
         c = raw_u8.shape[0]
         tile_c = tile_channels(c)
         head = 384
-        assert 128 % block == 0 and m_total % 128 == 0, (block, m_total)
+        assert out_tile % block == 0 and m_total % out_tile == 0, (
+            block, out_tile, m_total)
         assert block == 128 or block * stride_raw >= head, (
             f"sub-blocks of {block} outputs x stride {stride_raw} cannot "
             f"cover the {head}-byte look-back from within the A block")
@@ -480,7 +504,7 @@ def ingest_fir_decimate(
         h_mat, s1 = _pallas_banded_h(h, block, stride_raw, head, span_k)
         y_i, y_q = _pallas_ingest(
             raw_u8, jnp.asarray(h_mat), stride_raw, block, tile_c,
-            (head, span_k, 1.0 / (128.0 * s1)))
+            (head, span_k, 1.0 / (128.0 * s1), out_tile))
         return _zi_boundary_and_tail(raw_u8, h, t1, decim, zi_i, zi_q,
                                      y_i, y_q)
 

@@ -700,8 +700,11 @@ def fir_bank(x, h_list, stride: int = 1, x2=None, pre: str = "none",
                         jnp.bfloat16)
     # wider channel tiles pair with the wider blocks (fewer grid steps;
     # measured with the 512-block sweeps) — bank-only, the ingest kernel
-    # keeps its own tuned tiling
-    tile = tile or (256 if c % 256 == 0 and block >= 512
+    # keeps its own tuned tiling.  The mul2 banks carry TWO extra input
+    # streams (x2 head+A), so tile 256 overruns the 16 MB scoped-VMEM
+    # limit at 1024 ch / block 512 (measured: 16.12M, a 128 KB cliff) —
+    # they stay at the 128 tile.
+    tile = tile or (256 if c % 256 == 0 and block >= 512 and x2 is None
                     else tile_channels(c))
     return _pallas_fir(x, x if x2 is None else x2, h_mat, stride, block,
                        tile, hw, pre)
