@@ -95,6 +95,12 @@ def main(argv=None) -> int:
                         "band — per-channel RSSI, 19 kHz pilot SNR and "
                         "57 kHz RDS SNR with a station/stereo/rds verdict "
                         "(the reference operator retunes and listens)")
+    p.add_argument("--auto", action="store_true",
+                   help="with --wideband K: scan the first blocks, print "
+                        "the survey table, then decode the rest of the "
+                        "capture writing wavs / RDS output only for slots "
+                        "classified as stations (one command replaces the "
+                        "reference's scan-retune-listen loop)")
     p.add_argument("--stations", nargs="+", metavar="FILE", default=None,
                    help="batch mode: decode N capture files as one batched "
                         "receiver step; writes FILE.wav per station, RDS "
@@ -137,10 +143,12 @@ def main(argv=None) -> int:
     if args.stereo_blend:
         kwargs["stereo_blend"] = True
 
-    if args.scan:
+    if args.scan or args.auto:
         if not args.wideband:
-            print("error: --scan requires --wideband K", file=sys.stderr)
+            print(f"error: --{'scan' if args.scan else 'auto'} requires "
+                  "--wideband K", file=sys.stderr)
             return 1
+    if args.scan:
         return _band_scan(cfg, args.wideband, args.blocks)
     if args.stations:
         return _batch_decode(cfg, args.stations, args.blocks, kwargs,
@@ -153,8 +161,27 @@ def main(argv=None) -> int:
                 print(f"error: {err}", file=sys.stderr)
                 return 1
             kwargs["channel_offsets_hz"] = offsets
+        active = None
+        if args.auto:
+            # 3 blocks = 1 warm-up + 2 averaged (192 ms of air time);
+            # the rest of the capture goes to the decode pass
+            scan = _scan_band(cfg, args.wideband, 3)
+            if scan is None:
+                print("error: capture too short to scan (--auto needs "
+                      ">= 2 wideband blocks before decode)",
+                      file=sys.stderr)
+                return 1
+            mean, verdicts, used = scan
+            _print_scan_table(cfg, args.wideband, mean, verdicts)
+            active = [v != "empty" for v in verdicts]
+            n_act = sum(active)
+            print(f"auto: {n_act}/{args.wideband} slots active after "
+                  f"{used}-block scan; decoding those", file=sys.stderr)
+            if not n_act:
+                print("auto: no active stations found", file=sys.stderr)
+                return 0
         return _wideband_decode(cfg, args.wideband, args.blocks, kwargs,
-                                rds_groups=args.rds_groups)
+                                rds_groups=args.rds_groups, active=active)
 
     runner = StreamRunner(cfg, **kwargs)
     print("compiling receiver (first block is slow; subsequent blocks are "
@@ -371,14 +398,16 @@ def _centers_to_offsets(cfg, k, spec):
     return offsets, None
 
 
-def _band_scan(cfg, k, max_blocks) -> int:
-    """Survey a wideband stdin capture: per-channel activity metrics
-    (pipeline/scan.py), block-averaged, as a table on stdout."""
+def _scan_band(cfg, k, max_blocks):
+    """Run the band scanner over the next stdin blocks.
+
+    Returns (mean ScanMetrics, verdicts, blocks consumed) or None if the
+    capture is too short (<2 blocks; block 0 carries warm-up transients).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from rtsdr_tpu.ops.channelizer import channel_center_freqs
     from rtsdr_tpu.pipeline.scan import classify, make_band_scanner
 
     init_fn, step_fn = make_band_scanner(cfg, k)
@@ -396,11 +425,14 @@ def _band_scan(cfg, k, max_blocks) -> int:
             acc.append(jax.tree.map(np.asarray, m))
         blocks += 1
     if not acc:
-        print("error: need at least 2 wideband blocks to scan",
-              file=sys.stderr)
-        return 1
+        return None
     mean = jax.tree.map(lambda *xs: np.mean(np.stack(xs), axis=0), *acc)
-    verdicts = classify(mean)
+    return mean, classify(mean), blocks
+
+
+def _print_scan_table(cfg, k, mean, verdicts):
+    from rtsdr_tpu.ops.channelizer import channel_center_freqs
+
     freqs = channel_center_freqs(k, k * cfg.rf.fs)
     print(f"{'ch':>3} {'center':>9} {'RSSI dB':>8} {'pilot dB':>9} "
           f"{'RDS dB':>7}  verdict")
@@ -408,14 +440,31 @@ def _band_scan(cfg, k, max_blocks) -> int:
         print(f"{c:>3} {freqs[c] / 1e6:>+8.1f}M {mean.rssi_db[c]:>8.1f} "
               f"{mean.pilot_snr_db[c]:>9.1f} {mean.rds_snr_db[c]:>7.1f}  "
               f"{verdicts[c]}")
+
+
+def _band_scan(cfg, k, max_blocks) -> int:
+    """Survey a wideband stdin capture: per-channel activity metrics
+    (pipeline/scan.py), block-averaged, as a table on stdout."""
+    scan = _scan_band(cfg, k, max_blocks)
+    if scan is None:
+        print("error: need at least 2 wideband blocks to scan",
+              file=sys.stderr)
+        return 1
+    mean, verdicts, blocks = scan
+    _print_scan_table(cfg, k, mean, verdicts)
     print(f"scanned {blocks} wideband blocks x {k} channels",
           file=sys.stderr)
     return 0
 
 
-def _wideband_decode(cfg, k, max_blocks, kwargs, rds_groups=False) -> int:
+def _wideband_decode(cfg, k, max_blocks, kwargs, rds_groups=False,
+                     active=None) -> int:
     """One wideband stdin capture -> K stations via the PFB channelizer
-    (pipeline/wideband.py), channel<k>.wav per station."""
+    (pipeline/wideband.py), channel<k>.wav per station.
+
+    ``active``: optional per-slot mask (from --auto's scan pass) — the
+    batched step still decodes every slot (same device cost), but wavs,
+    RDS events, and group summaries are emitted only for active ones."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -453,6 +502,8 @@ def _wideband_decode(cfg, k, max_blocks, kwargs, rds_groups=False) -> int:
         rds = (jax.tree.map(np.asarray, out.rds)
                if out.rds is not None else None)
         for c in range(k):
+            if active is not None and not active[c]:
+                continue
             if writers[c] is None:
                 writers[c] = WavStreamWriter(f"channel{c}.wav",
                                              fs=int(cfg.audio_fs))
@@ -490,7 +541,8 @@ def _wideband_decode(cfg, k, max_blocks, kwargs, rds_groups=False) -> int:
           f"{events} RDS events", file=sys.stderr)
     if decoders is not None:
         for c in range(k):
-            _print_rds_summary(decoders[c], prefix=f"[ch{c}] ")
+            if active is None or active[c]:
+                _print_rds_summary(decoders[c], prefix=f"[ch{c}] ")
     return 0
 
 

@@ -192,6 +192,42 @@ def test_cli_end_to_end(tmp_path):
     assert b"processed 2 blocks" in proc.stderr
 
 
+def test_cli_auto_scan_then_decode(tmp_path):
+    """--auto: scan the first wideband blocks, then decode only the
+    slots classified as stations (wavs/RDS output suppressed for empty
+    ones) — one command for the reference's scan-retune-listen loop."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_scan import _wideband_capture
+
+    k, n_blocks = 2, 5
+    raw = _wideband_capture(k, n_blocks, {
+        1: dict(rng=np.random.default_rng(3)),   # station in slot 1 only
+    })
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rtsdr_jax_cache")
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "rtsdr_tpu.cli", "0", "--no-rds",
+         "--wideband", str(k), "--auto"],
+        input=raw.tobytes(), capture_output=True, env=env,
+        cwd=tmp_path, timeout=540)
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    table = proc.stdout.decode()
+    assert "empty" in table and "station" in table
+    assert b"auto: 1/2 slots active" in proc.stderr
+    # 3 blocks scanned, 2 decoded; only the live slot gets a wav
+    assert b"processed 2 wideband blocks" in proc.stderr
+    assert not (tmp_path / "channel0.wav").exists()
+    import wave
+    with wave.open(str(tmp_path / "channel1.wav")) as w:
+        assert w.getnchannels() == 2
+        assert w.getnframes() == 2 * 3072
+
+
 def test_cli_scan_requires_wideband():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
