@@ -84,17 +84,25 @@ def _bench_chain(n_channels: int, k1: int = 4, k2: int = 24,
     return _metrics(n_channels, dt)
 
 
-def _bench_interleaved(configs: dict, n_channels: int, k1: int = 4,
-                       k2: int = 24, rounds: int = 10) -> dict:
+def _bench_interleaved(configs: dict, n_channels: int | None = None,
+                       k1: int = 4, k2: int = 24,
+                       rounds: int = 10) -> dict:
     """Bench several receiver configs with interleaved visits.
+
+    ``configs``: name -> kwargs (all at ``n_channels``), or
+    name -> (channels, kwargs) per entry.
 
     Contention bursts on the shared chip last minutes — long enough to
     poison an entire per-config min-of-N measured in one visit, which
     skews the RATIOS between configs benched back to back.  Interleaving
     gives every config a shot at each quiet window; the slope pairs each
     config's global-min t(k1) and t(k2)."""
-    runners = {name: _make_runner(n_channels, **kw)
-               for name, kw in configs.items()}
+    chans = {}
+    runners = {}
+    for name, spec in configs.items():
+        c, kw = spec if isinstance(spec, tuple) else (n_channels, spec)
+        chans[name] = c
+        runners[name] = _make_runner(c, **kw)
     for run in runners.values():       # compile + warm both trace paths
         run(k1)
         run(k2)
@@ -104,7 +112,7 @@ def _bench_interleaved(configs: dict, n_channels: int, k1: int = 4,
         for name, run in runners.items():
             t1[name] = min(t1[name], run(k1))
             t2[name] = min(t2[name], run(k2))
-    return {name: _metrics(n_channels,
+    return {name: _metrics(chans[name],
                            max(t2[name] - t1[name], 1e-9) / (k2 - k1))
             for name in runners}
 
@@ -120,17 +128,18 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    # operating points from the round-3 channel sweeps: both chains peak
-    # at 1024 channels (the kernels amortize better, and the fused
-    # ingest+demod kernel engages at >=1024 — ops/ingestfir.py).
-    # fast mode: PLL loop-filter at 1/4 rate, bandwidth-preserving gains,
-    # full-rate NCO (ops/pll.py loop_div) — same lock behavior (envelope
-    # in PERF.md), not bit-identical to the golden model.
+    # operating points re-swept round 4 (interleaved duel): mono peaks at
+    # 2048 channels (68k vs 66k x at 1024; 4096 flat — the wider ingest
+    # tiles amortize best there), the full chain still at 1024 (the
+    # issue-bound PLL pair grows superlinearly past 2048 lanes: 14.0 ms
+    # at 2048 ch vs 2x5.7 expected).  fast mode: PLL loop-filter at 1/4
+    # rate, bandwidth-preserving gains, full-rate NCO (ops/pll.py
+    # loop_div) — lock envelope in PERF.md, not bit-identical to golden.
     res = _bench_interleaved({
-        "mono": dict(enable_rds=False, enable_stereo=False),
-        "full": {},          # mono+stereo+RDS+frame (Pallas PLL kernels)
-        "fast": dict(pll_loop_div=4),
-    }, 1024)
+        "mono": (2048, dict(enable_rds=False, enable_stereo=False)),
+        "full": (1024, {}),   # mono+stereo+RDS+frame (Pallas PLL kernels)
+        "fast": (1024, dict(pll_loop_div=4)),
+    })
     mono, full, fast = res["mono"], res["full"], res["fast"]
 
     result = {

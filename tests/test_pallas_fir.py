@@ -257,3 +257,40 @@ class TestResampleMul2:
                                    rtol=0, atol=_bf16_tol(ref))
         np.testing.assert_array_equal(np.asarray(new_zi),
                                       np.asarray(ref_zi))
+
+    @pytest.mark.parametrize("up,down,n,taps,rrc_taps", [
+        (3, 4, 1024, 31, 25),     # fractional up, short matched filter
+        (5, 2, 512, 41, 61),      # net upsampling
+        (19, 80, 3840, 301, 151), # RDS-like
+    ])
+    def test_rrc_fused_geometry_sweep(self, rng, up, down, n, taps,
+                                      rrc_taps):
+        """Fused resampler+RRC == composition across unrelated rational
+        geometries (the in-kernel rolling scratch and the outside
+        boundary matmuls must hold for any (b, bp, hw2))."""
+        from rtsdr_tpu.ops.fir import fir_block
+        from rtsdr_tpu.ops.pallas_fir import resample_mul2, resample_mul2_rrc
+
+        h = np.asarray(coeffs.lowpass_taps(240e3, 16e3, taps), np.float64)
+        rrc_h = np.asarray(
+            coeffs.rrc_taps(57e3, rrc_taps, 0.9, 2375), np.float64)
+        c = 32
+        t1, t1r = taps - 1, rrc_taps - 1
+        e = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        ni = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        nq = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        zi = jnp.asarray(
+            rng.standard_normal((c, 2, t1)).astype(np.float32) * 0.3)
+        rzi = jnp.asarray(
+            rng.standard_normal((c, 2, t1r)).astype(np.float32) * 0.3)
+        rrc, new_zi, new_rzi = resample_mul2_rrc(
+            e, ni, nq, h, zi, rrc_h, rzi, up, down, impl="pallas")
+        resamp, ref_zi = resample_mul2(e, ni, nq, h, zi, up, down,
+                                       impl="pallas")
+        ref_rrc, ref_rzi = fir_block(resamp, rrc_h, rzi)
+        np.testing.assert_allclose(np.asarray(rrc), np.asarray(ref_rrc),
+                                   rtol=0, atol=_bf16_tol(ref_rrc))
+        np.testing.assert_array_equal(np.asarray(new_zi),
+                                      np.asarray(ref_zi))
+        np.testing.assert_array_equal(np.asarray(new_rzi),
+                                      np.asarray(ref_rzi))
