@@ -212,6 +212,18 @@ def _ingest_demod_kernel(p_ref, a_ref, hh_ref, ha_ref, bi_ref, bq_ref,
     grid dim iterates innermost, so the carry is per channel tile.
     ``s_out_ref`` lane 0 / lane 1 = the block's last (i, q).
     """
+    fm_ref[...] = _ingest_demod_core(
+        p_ref, a_ref, hh_ref, ha_ref, bi_ref, bq_ref, s_ref, s_out_ref,
+        yi_s, yq_s, ci, cq, block=block, head=head, p_w=p_w,
+        inv_scale=inv_scale, stride_raw=stride_raw, out_tile=out_tile)
+
+
+def _ingest_demod_core(p_ref, a_ref, hh_ref, ha_ref, bi_ref, bq_ref,
+                       s_ref, s_out_ref, yi_s, yq_s, ci, cq, *,
+                       block: int, head: int, p_w: int, inv_scale: float,
+                       stride_raw: int, out_tile: int):
+    """Shared body of the demod-fused ingest kernels; returns the fm
+    block value (the caller stores or further filters it in-VMEM)."""
     j = pl.program_id(1)
     _ingest_kernel(p_ref, a_ref, hh_ref, ha_ref, yi_s, yq_s, block=block,
                    head=head, p_w=p_w, inv_scale=inv_scale,
@@ -231,7 +243,7 @@ def _ingest_demod_kernel(p_ref, a_ref, hh_ref, ha_ref, bi_ref, bq_ref,
     rq = pltpu.roll(yq, 1, 1)
     ip = jnp.where(lane == 0, ci[...], ri)
     qp = jnp.where(lane == 0, cq[...], rq)
-    fm_ref[...] = _atan2(yq * ip - yi * qp, yi * ip + yq * qp)
+    fm = _atan2(yq * ip - yi * qp, yi * ip + yq * qp)
     ci[...] = ri
     cq[...] = rq
 
@@ -239,6 +251,70 @@ def _ingest_demod_kernel(p_ref, a_ref, hh_ref, ha_ref, bi_ref, bq_ref,
     def _():
         # lane 0 = last i, lane 1 = last q (rotate q by one more lane)
         s_out_ref[...] = jnp.where(lane == 0, ri, pltpu.roll(yq, 2, 1))
+    return fm
+
+
+def _ingest_demod_audio_kernel(*refs, block: int, head: int, p_w: int,
+                               inv_scale: float, stride_raw: int,
+                               out_tile: int, hw2m: int, emit_fm: bool):
+    """Ingest + RF FIR + discriminator + audio LPF↓down, one kernel.
+
+    The fm block from ``_ingest_demod_core`` feeds a second banded dot
+    (``_second_stage_h``; same rolling-scratch scheme as
+    ``pallas_fir._resample_mix_rrc_kernel``) — with ``emit_fm=False``
+    (mono-only receiver) the 2.4 MS/s stream's demodulated form never
+    touches HBM either, only the 48 kS/s audio and a 128-lane fm tail
+    (the audio filter's carried state) leave the chip's VMEM."""
+    p_ref, a_ref, hh_ref, ha_ref, hm_ref, bi_ref, bq_ref, s_ref = refs[:8]
+    o = 8
+    fm_ref = refs[o] if emit_fm else None
+    o += 1 if emit_fm else 0
+    au_ref, ft_ref, s_out_ref = refs[o:o + 3]
+    yi_s, yq_s, ci, cq, wm = refs[o + 3:o + 8]
+    fm = _ingest_demod_core(
+        p_ref, a_ref, hh_ref, ha_ref, bi_ref, bq_ref, s_ref, s_out_ref,
+        yi_s, yq_s, ci, cq, block=block, head=head, p_w=p_w,
+        inv_scale=inv_scale, stride_raw=stride_raw, out_tile=out_tile)
+    if emit_fm:
+        fm_ref[...] = fm
+    j = pl.program_id(1)
+    ft_ref[...] = fm[:, out_tile - hw2m:]  # last write (j = nblk-1) wins
+
+    @pl.when(j == 0)
+    def _():
+        wm[:, :hw2m] = jnp.zeros_like(wm[:, :hw2m])
+
+    wm[:, hw2m:] = fm.astype(jnp.bfloat16)
+    au_ref[...] = jax.lax.dot_general(
+        wm[...], hm_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    wm[:, :hw2m] = wm[:, out_tile:]
+
+
+def _second_stage_h(h: np.ndarray, n_in: int, n_out: int, stride: int,
+                    hw2: int) -> np.ndarray:
+    """(hw2 + n_in, n_out) banded matrix for an in-kernel second-stage
+    decimating FIR over the first stage's output blocks.
+
+    Scratch lane p < hw2 holds previous-block sample (n_in - hw2) + p;
+    lane hw2 + p holds current sample p.  Output column r of block j is
+    y[j*n_out + r] = sum_k h[k] * x[(j*n_out + r)*stride - k] — the
+    ``fir_decimate`` overlap-save convention (x[<0] enters outside via
+    the zi boundary matmul)."""
+    t1 = len(h) - 1
+    h64 = np.asarray(h, np.float64)
+    m = np.zeros((hw2 + n_in, n_out), np.float64)
+    p = np.arange(hw2)[:, None]
+    r = np.arange(n_out)[None, :]
+    k = r * stride + hw2 - p                  # previous block half
+    valid = (k >= 1) & (k <= t1) & ((n_in - hw2) + p < n_in)
+    m[:hw2] = np.where(valid, h64[np.clip(k, 0, t1)], 0.0)
+    p = np.arange(n_in)[:, None]
+    k = r * stride - p                         # current block half
+    valid = (k >= 0) & (k <= t1)
+    m[hw2:] = np.where(valid, h64[np.clip(k, 0, t1)], 0.0)
+    return m.astype(np.float32)
 
 
 def _ingest_grid_specs(tile_c: int, blk_bytes: int, head: int,
@@ -350,6 +426,191 @@ def _pallas_ingest_demod(raw_u8, h_mat, bnd_i, bnd_q, prev_i, prev_q,
         interpret=jax.default_backend() != "tpu",
     )(raw_u8, raw_u8, h_mat[:head], h_mat[head:], bnd_i, bnd_q, s_in)
     return fm, s_out
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10), inline=True)
+def _pallas_ingest_demod_audio(raw_u8, h_mat, hm_mat, bnd_i, bnd_q, prev_i,
+                               prev_q, stride_raw: int, block: int,
+                               tile_c: int, params):
+    head, span_k, inv_scale, out_tile, hw2m, emit_fm = params
+    c, n = raw_u8.shape
+    m_total = n // stride_raw
+    nblk = m_total // out_tile
+    n_out = hm_mat.shape[1]                 # audio outputs per block
+    blk_bytes = out_tile * stride_raw
+    in_specs, p_w = _ingest_grid_specs(tile_c, blk_bytes, head, span_k,
+                                       block)
+    in_specs += [pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)] * 3
+    in_specs.insert(4, pl.BlockSpec((hw2m + out_tile, n_out),
+                                    lambda i, j: (0, 0),
+                                    memory_space=pltpu.VMEM))
+    kern = functools.partial(_ingest_demod_audio_kernel, block=block,
+                             head=head, p_w=p_w, inv_scale=inv_scale,
+                             stride_raw=stride_raw, out_tile=out_tile,
+                             hw2m=hw2m, emit_fm=emit_fm)
+    s_in = jnp.concatenate(
+        [prev_i[:, None].astype(jnp.float32),
+         prev_q[:, None].astype(jnp.float32),
+         jnp.zeros((c, out_tile - 2), jnp.float32)], axis=1)
+    out_specs = [pl.BlockSpec((tile_c, n_out), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((tile_c, hw2m), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((tile_c, out_tile), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((c, nblk * n_out), jnp.float32),
+                 jax.ShapeDtypeStruct((c, hw2m), jnp.float32),
+                 jax.ShapeDtypeStruct((c, out_tile), jnp.float32)]
+    if emit_fm:
+        out_specs.insert(0, pl.BlockSpec((tile_c, out_tile),
+                                         lambda i, j: (i, j),
+                                         memory_space=pltpu.VMEM))
+        out_shape.insert(0, jax.ShapeDtypeStruct((c, m_total), jnp.float32))
+    outs = pl.pallas_call(
+        kern,
+        grid=(c // tile_c, nblk),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((tile_c, out_tile), jnp.float32)] * 4
+        + [pltpu.VMEM((tile_c, hw2m + out_tile), jnp.bfloat16)],
+        interpret=jax.default_backend() != "tpu",
+    )(raw_u8, raw_u8, h_mat[:head], h_mat[head:], hm_mat, bnd_i, bnd_q,
+      s_in)
+    if emit_fm:
+        fm, au, ft, s_out = outs
+    else:
+        au, ft, s_out = outs
+        fm = None
+    return fm, au, ft, s_out
+
+
+def ingest_audio_eligible(raw_u8, rf_taps: int, decim: int,
+                          audio_up: int, audio_taps: int,
+                          audio_down: int, block=None,
+                          policy: bool = True) -> bool:
+    """Static predicate for ``ingest_fir_demod_audio``'s fused path.
+
+    ``policy=False`` checks geometry only (tests force the kernel with
+    impl='pallas' in interpret mode off-TPU); the default adds the
+    production gates — TPU backend and the >=1024-channel point where
+    the in-kernel demod epilogue pays off (see ingest_fir_demod)."""
+    stride_raw = 2 * decim
+    block = _pick_block(block, stride_raw)
+    out_tile = 128 * audio_down
+    t1m = audio_taps - 1
+    hw2m = -(-t1m // 128) * 128
+    geom = (audio_up == 1
+            and raw_u8.dtype == jnp.uint8 and raw_u8.ndim == 2
+            and hw2m <= out_tile
+            and _pallas_geom_ok(raw_u8, block, stride_raw, rf_taps - 1,
+                                halo=False, out_tile=out_tile))
+    if not policy:
+        return geom
+    return (geom and jax.default_backend() == "tpu"
+            and raw_u8.shape[0] >= 1024)
+
+
+def ingest_fir_demod_audio(
+    raw_u8: jax.Array,
+    h,
+    zi_i: jax.Array,
+    zi_q: jax.Array,
+    prev_i: jax.Array,
+    prev_q: jax.Array,
+    decim: int,
+    audio_h,
+    audio_zi: jax.Array,
+    audio_down: int,
+    emit_fm: bool = True,
+    block: int | None = None,
+    impl: str = "auto",
+):
+    """``ingest_fir_demod`` + the audio LPF↓down fused as a second-stage
+    banded dot on each in-VMEM fm block (rolling-scratch look-back, the
+    ``resample_mul2_rrc`` scheme).
+
+    Semantics: ``fm, ... = ingest_fir_demod(...)`` then
+    ``audio, new_audio_zi = fir_decimate(fm, audio_h, audio_zi,
+    audio_down)`` — the reference's mono chain (src/fm_radio.cpp:
+    62-84 then :258).  With ``emit_fm=False`` (mono-only receiver) the
+    demodulated stream never touches HBM: the kernel emits only the
+    48 kS/s audio and a 128-lane fm tail for the carried state
+    (~126 MB/step less HBM traffic at 1024 channels).
+
+    Returns (fm | None, audio, new_zi_i, new_zi_q, new_prev_i,
+    new_prev_q, new_audio_zi).  Falls back to the unfused pair when the
+    geometry is ineligible (then fm is always returned).
+    """
+    h = np.asarray(h, np.float64)
+    audio_h64 = np.asarray(audio_h, np.float64)
+    taps = h.shape[0]
+    t1 = taps - 1
+    t1m = audio_h64.shape[0] - 1
+    stride_raw = 2 * decim
+    block = _pick_block(block, stride_raw)
+    if impl == "pallas":
+        ok = ingest_audio_eligible(raw_u8, taps, decim, 1, t1m + 1,
+                                   audio_down, block=block, policy=False)
+        assert ok, "ingest_fir_demod_audio: geometry not Pallas-eligible"
+    elif impl == "auto":
+        ok = ingest_audio_eligible(raw_u8, taps, decim, 1, t1m + 1,
+                                   audio_down, block=block)
+    else:
+        ok = False
+    if not ok:
+        from rtsdr_tpu.ops.fir import fir_decimate
+
+        fm, zi_i_n, zi_q_n, pi, pq = ingest_fir_demod(
+            raw_u8, h, zi_i, zi_q, prev_i, prev_q, decim, block=block)
+        audio, audio_zi_n = fir_decimate(fm, audio_h, audio_zi, audio_down)
+        return fm, audio, zi_i_n, zi_q_n, pi, pq, audio_zi_n
+
+    from rtsdr_tpu.ops.pallas_fir import tile_channels
+
+    c = raw_u8.shape[0]
+    tile_c = tile_channels(c)
+    head = 384
+    out_tile = 128 * audio_down
+    span_k = head + block * stride_raw
+    h_mat, s1 = _pallas_banded_h(h, block, stride_raw, head, span_k)
+    hw2m = -(-t1m // 128) * 128
+    hm_mat = jnp.asarray(
+        _second_stage_h(audio_h64, out_tile, 128, audio_down, hw2m),
+        jnp.bfloat16)
+
+    nb = -(-t1 // decim)
+    hz = _boundary_hz(h, t1, decim, nb)
+
+    def bnd(zi):
+        b = jax.lax.dot_general(
+            zi.astype(jnp.float32), hz,
+            dimension_numbers=(((zi.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jnp.pad(b, ((0, 0), (0, out_tile - nb)))
+
+    fm, au, ft, s_out = _pallas_ingest_demod_audio(
+        raw_u8, jnp.asarray(h_mat), hm_mat, bnd(zi_i), bnd(zi_q),
+        prev_i.astype(jnp.float32), prev_q.astype(jnp.float32),
+        stride_raw, block, tile_c,
+        (head, span_k, 1.0 / (128.0 * s1), out_tile, hw2m, emit_fm))
+
+    # audio zi boundary (carried fm tail) on the first ceil(t1m/down)
+    # outputs, f32 outside — the fir_decimate overlap-save convention
+    nbm = -(-t1m // audio_down)
+    hzm = _boundary_hz(audio_h64, t1m, audio_down, nbm)
+    bm = jax.lax.dot_general(
+        audio_zi.astype(jnp.float32), hzm,
+        dimension_numbers=(((audio_zi.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    au = au.at[..., :nbm].add(bm)
+    new_audio_zi = (fm[..., -t1m:] if emit_fm else ft[..., -t1m:])
+
+    tail = raw_u8[..., -2 * t1:]
+    tail = (tail.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
+    return (fm, au, tail[..., 0::2], tail[..., 1::2],
+            s_out[:, 0], s_out[:, 1], new_audio_zi)
 
 
 def ingest_fir_demod(

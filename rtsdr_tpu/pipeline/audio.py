@@ -114,11 +114,20 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
     def audio(state: AudioState, fm: jax.Array,
               pilot: jax.Array | None = None,
               chan: jax.Array | None = None,
-              nco_pre: tuple | None = None):
+              nco_pre: tuple | None = None,
+              mono_pre: tuple | None = None):
+        # the receiver may pass the mono branch precomputed (LPF↓down
+        # fused into the ingest+demod kernel, ops/ingestfir.py) as
+        # mono_pre = (mono, new_mono_zi); fm is then None in the
+        # mono-only configuration (it never left VMEM)
         if not enable_stereo:
-            # mono path; gain=up restores the resampler's Parseval loss
-            # (C++ applies the same x24 at emit, src/fm_radio.cpp:206,297)
-            mono, mono_zi = fir_resample(fm, mono_h, state.mono_zi, up, down)
+            if mono_pre is not None:
+                mono, mono_zi = mono_pre
+            else:
+                # gain=up restores the resampler's Parseval loss (C++
+                # applies the same x24 at emit, src/fm_radio.cpp:206,297)
+                mono, mono_zi = fir_resample(fm, mono_h, state.mono_zi,
+                                             up, down)
             out, de = _deemph(mono, mono, state.deemph)
             new_state = AudioState(mono_zi=mono_zi, pilot_zi=None,
                                    chan_zi=None, stereo_zi=None, pll=None,
@@ -155,7 +164,18 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
         # run as one stacked resampler call.
         from rtsdr_tpu.ops import pallas_fir
 
-        if (jax.default_backend() == "tpu" and up == 1 and fm.ndim == 2
+        if mono_pre is not None:
+            mono, mono_zi = mono_pre
+            if (jax.default_backend() == "tpu" and up == 1
+                    and chan.ndim == 2 and chan.dtype == jnp.float32
+                    and pallas_fir.eligible(chan, taps, down)):
+                (stereo,), stereo_zi = pallas_fir.fir_bank_carried(
+                    chan, [mono_h], state.stereo_zi, down, x2=nco,
+                    pre="mul2")
+            else:
+                stereo, stereo_zi = fir_resample(
+                    2.0 * chan * nco, mono_h, state.stereo_zi, up, down)
+        elif (jax.default_backend() == "tpu" and up == 1 and fm.ndim == 2
                 and fm.dtype == jnp.float32
                 and pallas_fir.eligible(fm, taps, down)):
             (mono,), mono_zi = pallas_fir.fir_bank_carried(

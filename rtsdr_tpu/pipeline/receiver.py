@@ -98,6 +98,20 @@ def make_receiver(
                        pll_impl=pll_impl, deemphasis=deemphasis,
                        pll_loop_div=pll_loop_div,
                        stereo_blend=stereo_blend)
+
+    # Fused ingest + RF FIR + discriminator + mono LPF↓down (one Pallas
+    # kernel, ops/ingestfir.py): the audio filter consumes each fm block
+    # in VMEM; in the mono-only configuration the demodulated stream
+    # never reaches HBM at all (~126 MB/step saved at 1024 channels).
+    from rtsdr_tpu.ops import coeffs as _coeffs
+    from rtsdr_tpu.pipeline.audio import _audio_taps
+
+    _rf_h = _coeffs.lowpass_taps(cfg.rf.fs, cfg.rf.fc, cfg.rf.taps)
+    _audio_taps_n = _audio_taps(cfg)
+    _mono_h = _coeffs.lowpass_taps(cfg.rf.if_fs * cfg.mono.up, cfg.mono.fc,
+                                   _audio_taps_n)
+    fuse_audio_ok = (frontend_impl in ("auto", "fused")
+                     and dtype == jnp.float32 and cfg.mono.up == 1)
     rds_fn = (make_rds(cfg, pll_impl=pll_impl, resamp_impl=resamp_impl,
                        pll_loop_div=pll_loop_div)
               if enable_rds else None)
@@ -172,9 +186,30 @@ def make_receiver(
         )
 
     def step_fn(state: ReceiverState, raw_u8: jax.Array):
+        from rtsdr_tpu.ops.ingestfir import (
+            ingest_audio_eligible,
+            ingest_fir_demod_audio,
+        )
+
         # ingest (u8 normalize/deinterleave) happens inside the frontend —
-        # on TPU fused directly into the FIR windows (ops/ingestfir.py)
-        fm, fe_state = frontend(state.frontend, raw_u8)
+        # on TPU fused directly into the FIR windows (ops/ingestfir.py),
+        # with the mono audio LPF as an in-kernel second stage when the
+        # geometry allows
+        mono_pre = None
+        if (fuse_audio_ok and raw_u8.dtype == jnp.uint8
+                and ingest_audio_eligible(raw_u8, cfg.rf.taps, cfg.rf.decim,
+                                          cfg.mono.up, _audio_taps_n,
+                                          cfg.mono.down)):
+            fm, mono, zi_i, zi_q, pi, pq, mono_zi = ingest_fir_demod_audio(
+                raw_u8, _rf_h, state.frontend.zi_i, state.frontend.zi_q,
+                state.frontend.prev_i, state.frontend.prev_q, cfg.rf.decim,
+                _mono_h, state.audio.mono_zi, cfg.mono.down,
+                emit_fm=enable_stereo or enable_rds)
+            fe_state = FrontendState(zi_i=zi_i, zi_q=zi_q,
+                                     prev_i=pi, prev_q=pq)
+            mono_pre = (mono, mono_zi)
+        else:
+            fm, fe_state = frontend(state.frontend, raw_u8)
 
         pilot = chan = extract = None
         audio_nco = rds_nco = None
@@ -204,7 +239,8 @@ def make_receiver(
                            squared_zi)
         (left, right, mono), au_state = audio(state.audio, fm,
                                               pilot=pilot, chan=chan,
-                                              nco_pre=audio_nco)
+                                              nco_pre=audio_nco,
+                                              mono_pre=mono_pre)
 
         rds_state = None
         frame_state = None

@@ -139,3 +139,45 @@ def test_fused_demod_matches_split(rng):
         np.testing.assert_allclose(f, s, atol=5e-6, rtol=0)
     np.testing.assert_allclose(np.asarray(pi), np.asarray(st[0]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(pq), np.asarray(st[1]), atol=1e-6)
+
+
+@pytest.mark.parametrize("emit_fm", [True, False])
+def test_demod_audio_fused_matches_composition(rng, emit_fm):
+    """ingest_fir_demod_audio == ingest_fir_demod then fir_decimate:
+    fm and every carried state bitwise, audio at bf16-window scale
+    (the in-kernel second stage regroups the banded accumulation)."""
+    from rtsdr_tpu.ops import coeffs
+    from rtsdr_tpu.ops.fir import fir_decimate
+    from rtsdr_tpu.ops.ingestfir import (
+        ingest_fir_demod,
+        ingest_fir_demod_audio,
+    )
+
+    c, decim, down = 32, 10, 5
+    n = 2 * decim * 128 * down * 4          # 4 output tiles of 640
+    raw = jnp.asarray(rng.integers(0, 256, (c, n), np.uint8))
+    rf_h = np.asarray(coeffs.lowpass_taps(2.4e6, 100e3, 151), np.float64)
+    mono_h = np.asarray(coeffs.lowpass_taps(240e3, 16e3, 151), np.float64)
+    zi = jnp.asarray(rng.standard_normal((c, 150)).astype(np.float32) * .1)
+    azi = jnp.asarray(rng.standard_normal((c, 150)).astype(np.float32) * .1)
+    pi = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * .1)
+    pq = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * .1)
+
+    fm_r, zii_r, ziq_r, pi_r, pq_r = ingest_fir_demod(
+        raw, rf_h, zi, zi, pi, pq, decim, impl="pallas")
+    au_r, azi_r = fir_decimate(fm_r, mono_h, azi, down)
+
+    fm, au, zii, ziq, pi2, pq2, azi2 = ingest_fir_demod_audio(
+        raw, rf_h, zi, zi, pi, pq, decim, mono_h, azi, down,
+        emit_fm=emit_fm, impl="pallas")
+    if emit_fm:
+        np.testing.assert_array_equal(np.asarray(fm), np.asarray(fm_r))
+    else:
+        assert fm is None
+    tol = 2e-2 * float(np.max(np.abs(np.asarray(au_r)))) + 1e-6
+    np.testing.assert_allclose(np.asarray(au), np.asarray(au_r),
+                               rtol=0, atol=tol)
+    np.testing.assert_array_equal(np.asarray(azi2), np.asarray(azi_r))
+    np.testing.assert_array_equal(np.asarray(zii), np.asarray(zii_r))
+    np.testing.assert_array_equal(np.asarray(pi2), np.asarray(pi_r))
+    np.testing.assert_array_equal(np.asarray(pq2), np.asarray(pq_r))
