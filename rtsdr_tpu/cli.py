@@ -61,6 +61,11 @@ def main(argv=None) -> int:
                         "both loops: +/-200 Hz at the 19 kHz pilot and "
                         "+/-500 Hz at the 114 kHz RDS carrier, both >50x "
                         "any physical detune.  1 = golden-model parity")
+    p.add_argument("--pty-table", choices=("rbds", "rds"), default="rbds",
+                   help="program-type name table: 'rbds' (North America — "
+                        "the reference hardware's region) or 'rds' (Europe, "
+                        "IEC 62106 annex F).  The same 5-bit codes mean "
+                        "different things per region")
     p.add_argument("--rds-ec", action="store_true",
                    help="burst error correction on RDS blocks: repair "
                         "<=5-bit bursts via the (26,16) code's syndrome "
@@ -152,7 +157,8 @@ def main(argv=None) -> int:
         return _band_scan(cfg, args.wideband, args.blocks)
     if args.stations:
         return _batch_decode(cfg, args.stations, args.blocks, kwargs,
-                             rds_groups=args.rds_groups)
+                             rds_groups=args.rds_groups,
+                             pty_table=args.pty_table)
     if args.wideband:
         if args.wideband_centers:
             offsets, err = _centers_to_offsets(cfg, args.wideband,
@@ -181,7 +187,8 @@ def main(argv=None) -> int:
                 print("auto: no active stations found", file=sys.stderr)
                 return 0
         return _wideband_decode(cfg, args.wideband, args.blocks, kwargs,
-                                rds_groups=args.rds_groups, active=active)
+                                rds_groups=args.rds_groups, active=active,
+                                pty_table=args.pty_table)
 
     runner = StreamRunner(cfg, **kwargs)
     print("compiling receiver (first block is slow; subsequent blocks are "
@@ -202,7 +209,8 @@ def main(argv=None) -> int:
         if wav_w is not None:
             wav_w.write_int16_bytes(b)
 
-    decoders = _station_decoders(1, cfg, kwargs, args.rds_groups)
+    decoders = _station_decoders(1, cfg, kwargs, args.rds_groups,
+                                 args.pty_table)
     decoder = decoders[0] if decoders else None
     frame_hook = (None if decoders is None
                   else lambda fo: _feed_groups(decoders, 0, fo, ""))
@@ -234,13 +242,12 @@ def _print_rds_summary(decoder, prefix: str = "") -> None:
     """Final decoded-payload summary lines (PI/PTY/PS/RT, AF list, CT)."""
     if decoder.pi is None:
         return
-    from rtsdr_tpu.pipeline.groups import ODA_NAMES, PTY_NAMES
+    from rtsdr_tpu.pipeline.groups import ODA_NAMES, pty_name
 
     if decoder.alarm:
         print(f"{prefix}RDS: *** EMERGENCY ALARM (PTY 31) ***",
               file=sys.stderr)
-    pty = PTY_NAMES[decoder.pty] if PTY_NAMES[decoder.pty] \
-        else str(decoder.pty)
+    pty = pty_name(decoder.pty, decoder.pty_table)
     print(f"{prefix}RDS: PI=0x{decoder.pi:04X} PTY={pty} "
           f"PS='{decoder.ps_name}' RT='{decoder.radiotext_str}'",
           file=sys.stderr)
@@ -277,7 +284,8 @@ def _print_rds_summary(decoder, prefix: str = "") -> None:
               file=sys.stderr)
 
 
-def _batch_decode(cfg, files, max_blocks, kwargs, rds_groups=False) -> int:
+def _batch_decode(cfg, files, max_blocks, kwargs, rds_groups=False,
+                  pty_table="rbds") -> int:
     """Decode N stations as one channel-batched receiver (the multi-station
     deployment shape, driven from capture files).  Each file gets its own
     prefetching C++ reader and emission of block b overlaps block b+1's
@@ -296,7 +304,8 @@ def _batch_decode(cfg, files, max_blocks, kwargs, rds_groups=False) -> int:
         return 1
 
     n = len(files)
-    decoders = _station_decoders(n, cfg, kwargs, rds_groups)
+    decoders = _station_decoders(n, cfg, kwargs, rds_groups,
+                                 pty_table)
     handles = [open(f, "rb") for f in files]
     writers: list = [None] * n  # opened on first block; stream per block
     events = 0
@@ -337,7 +346,7 @@ def _batch_decode(cfg, files, max_blocks, kwargs, rds_groups=False) -> int:
     return 0
 
 
-def _station_decoders(n, cfg, kwargs, rds_groups):
+def _station_decoders(n, cfg, kwargs, rds_groups, pty_table="rbds"):
     """Per-station GroupDecoders for the CLI paths (None when group
     decoding is off or the config has no RDS)."""
     if not rds_groups or cfg.rds is None \
@@ -345,7 +354,7 @@ def _station_decoders(n, cfg, kwargs, rds_groups):
         return None
     from rtsdr_tpu.pipeline.groups import GroupDecoder
 
-    return [GroupDecoder() for _ in range(n)]
+    return [GroupDecoder(pty_table=pty_table) for _ in range(n)]
 
 
 def _feed_groups(decoders, c, fo, label):
@@ -353,8 +362,9 @@ def _feed_groups(decoders, c, fo, label):
     groups tagged with ``label``."""
     from rtsdr_tpu.pipeline.groups import format_group
 
-    for g in decoders[c].feed(fo):
-        print(f"{label}{format_group(g)}", file=sys.stderr)
+    dec = decoders[c]
+    for g in dec.feed(fo):
+        print(f"{label}{format_group(g, dec.pty_table)}", file=sys.stderr)
 
 
 def _parse_freq(s: str) -> float:
@@ -458,7 +468,7 @@ def _band_scan(cfg, k, max_blocks) -> int:
 
 
 def _wideband_decode(cfg, k, max_blocks, kwargs, rds_groups=False,
-                     active=None) -> int:
+                     active=None, pty_table="rbds") -> int:
     """One wideband stdin capture -> K stations via the PFB channelizer
     (pipeline/wideband.py), channel<k>.wav per station.
 
@@ -486,7 +496,8 @@ def _wideband_decode(cfg, k, max_blocks, kwargs, rds_groups=False,
 
     wbs = k * cfg.block_size
     writers: list = [None] * k
-    decoders = _station_decoders(k, cfg, kwargs, rds_groups)
+    decoders = _station_decoders(k, cfg, kwargs, rds_groups,
+                                 pty_table)
     blocks = 0
     events = 0
 

@@ -44,6 +44,26 @@ PTY_NAMES = [
     "Emergency Test", "Emergency",
 ]
 
+# European RDS program-type names (IEC 62106 annex F) — the same 5-bit
+# codes mean different things on each side of the Atlantic; a receiver
+# must pick the table by region, not by signal.
+PTY_NAMES_RDS = [
+    "None", "News", "Current Affairs", "Information", "Sport", "Education",
+    "Drama", "Culture", "Science", "Varied", "Pop Music", "Rock Music",
+    "Easy Listening", "Light Classical", "Serious Classical", "Other Music",
+    "Weather", "Finance", "Children's Programmes", "Social Affairs",
+    "Religion", "Phone-In", "Travel", "Leisure", "Jazz Music",
+    "Country Music", "National Music", "Oldies Music", "Folk Music",
+    "Documentary", "Alarm Test", "Alarm",
+]
+
+PTY_TABLES = {"rbds": PTY_NAMES, "rds": PTY_NAMES_RDS}
+
+
+def pty_name(code: int, table: str = "rbds") -> str:
+    names = PTY_TABLES[table]
+    return names[code] if names[code] else str(code)
+
 _OFFSET_A, _OFFSET_B, _OFFSET_C, _OFFSET_D = 1, 2, 3, 4  # syndrome ids
 _OFFSET_CP = 5  # C' — block 3 of version-B groups (IEC 62106 offset table)
 
@@ -156,8 +176,13 @@ class Group:
 @dataclass
 class GroupDecoder:
     """Stateful assembler: feed per-block FrameOutputs (single channel),
-    collect decoded groups and the accumulated PS / RadioText strings."""
+    collect decoded groups and the accumulated PS / RadioText strings.
 
+    ``pty_table``: 'rbds' (North America, the reference's region) or
+    'rds' (Europe, IEC 62106 annex F) — same 5-bit codes, different
+    meanings; region-selected, not signal-selected."""
+
+    pty_table: str = "rbds"
     pi: int | None = None
     pty: int | None = None
     ps: list = field(default_factory=lambda: [" "] * 8)
@@ -418,7 +443,6 @@ class GroupDecoder:
         return text.replace("\x00", "").rstrip()
 
 
-def format_group(g: Group) -> str:
-    pty = PTY_NAMES[g.pty] if PTY_NAMES[g.pty] else str(g.pty)
-    return (f"Group {g.name} PI=0x{g.pi:04X} PTY={pty} TP={g.tp} "
-            f"at position {g.position}")
+def format_group(g: Group, pty_table: str = "rbds") -> str:
+    return (f"Group {g.name} PI=0x{g.pi:04X} PTY={pty_name(g.pty, pty_table)} "
+            f"TP={g.tp} at position {g.position}")

@@ -485,3 +485,31 @@ def test_groups_alarm_pty31():
     _push_group(dec2, 0x3A5C, (0 << 12) | (1 << 10) | (5 << 5) | 0,
                 0, (ord("A") << 8) | ord("L"), 0)
     assert dec2.alarm is False
+
+
+def test_pty_tables_region_select():
+    """The same 5-bit PTY code names differently by region: RBDS (North
+    America, reference hardware) vs European RDS (IEC 62106 annex F).
+    Code 5 is 'Rock' in RBDS and 'Education' in RDS; both tables cover
+    all 32 codes and agree that 31 is the alarm code."""
+    from rtsdr_tpu.pipeline.groups import (
+        PTY_NAMES,
+        PTY_NAMES_RDS,
+        Group,
+        format_group,
+        pty_name,
+    )
+
+    assert len(PTY_NAMES) == len(PTY_NAMES_RDS) == 32
+    assert pty_name(5) == "Rock"
+    assert pty_name(5, "rds") == "Education"
+    assert pty_name(31) == "Emergency"
+    assert pty_name(31, "rds") == "Alarm"
+    # empty RBDS slots fall back to the numeric code
+    assert pty_name(27) == "27"
+    g = Group(pi=0x1234, group_type=0, version=0, tp=0, pty=5,
+              blocks=(0, 0, 0, 0), position=0)
+    assert "PTY=Rock" in format_group(g)
+    assert "PTY=Education" in format_group(g, "rds")
+    dec = GroupDecoder(pty_table="rds")
+    assert dec.pty_table == "rds"
