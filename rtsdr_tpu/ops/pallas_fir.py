@@ -375,10 +375,7 @@ def resample_mul2(extract, nco_i, nco_q, h, zi, up: int, down: int,
     geometries the kernel does not fit (e.g. MODE1_RDS's x57/250, whose
     phase-banded matrix exceeds VMEM).
     """
-    from rtsdr_tpu.ops.fir import (
-        _upsampled_tail_of,
-        fir_resample,
-    )
+    from rtsdr_tpu.ops.fir import fir_resample
 
     if gain is None:
         gain = float(up)
@@ -569,7 +566,7 @@ def resample_mul2_rrc(extract, nco_i, nco_q, h, zi, rrc_h, rrc_zi,
     the unfused pair off-TPU or for ineligible geometries (e.g.
     MODE1_RDS); the fallback is bitwise the unfused composition.
     """
-    from rtsdr_tpu.ops.fir import _resample_boundary_index, fir_resample
+    from rtsdr_tpu.ops.fir import _resample_boundary_index
 
     if gain is None:
         gain = float(up)
