@@ -36,7 +36,16 @@ class BatchRunner:
         self.n = len(fds)
         self.readers = [BlockReader(fd, cfg.block_size) for fd in fds]
         self.rx = Receiver(cfg, (self.n,), dtype, **kwargs)
-        self._staging = np.empty((self.n, cfg.block_size), np.uint8)
+        # TWO staging buffers, alternated per block: jnp.asarray may
+        # alias the numpy buffer (CPU backend) or still be DMA-ing it
+        # (TPU) when the loop body returns, so refilling a single buffer
+        # on the next iteration races the in-flight step — observed as
+        # intermittent O(1) corruption of tens of samples under load.
+        # Alternation is sufficient, not just lucky: draining step b's
+        # outputs on iteration b+1 blocks until step b (and its input
+        # consumption) completed, so buffer b is free by iteration b+2.
+        self._staging = np.empty((2, self.n, cfg.block_size), np.uint8)
+        self._slot = 0
 
     def close(self) -> None:
         for r in self.readers:
@@ -49,13 +58,15 @@ class BatchRunner:
         self.close()
 
     def read_batch(self) -> np.ndarray | None:
-        """Fill the staging array from all N readers; None when ANY
+        """Fill the next staging buffer from all N readers; None when ANY
         stream hits EOF (streams advance in lock-step, as the batched
         state requires)."""
+        buf = self._staging[self._slot]
+        self._slot ^= 1
         for c, r in enumerate(self.readers):
-            if not r.read_block_into(self._staging[c]):
+            if not r.read_block_into(buf[c]):
                 return None
-        return self._staging
+        return buf
 
     def run(
         self,

@@ -63,7 +63,14 @@ def test_block_reader_read_into(tmp_path):
 
 def test_batch_runner_matches_single_station(tmp_path):
     """Two capture files through BatchRunner == each through its own
-    single-station receiver, bit-exact (same jitted math, batched)."""
+    single-station receiver, bit-exact, across repeated passes.
+
+    Repetition is the point: a single-staging-buffer BatchRunner raced
+    its own in-flight step (jnp.asarray may alias the numpy buffer on
+    CPU or still be DMA-ing it on TPU when the loop refills it) and
+    corrupted tens of samples in ~20%% of runs under load.  The runner
+    now double-buffers; this test re-runs the whole pipeline several
+    times and demands bitwise equality every time."""
     import jax
     import jax.numpy as jnp
 
@@ -82,26 +89,33 @@ def test_batch_runner_matches_single_station(tmp_path):
         paths.append(str(p))
         caps.append(u8)
 
-    got = {0: [], 1: []}
-    fds = [os.open(p, os.O_RDONLY) for p in paths]
-    with BatchRunner(MODE0, fds, enable_rds=False) as runner:
-        stats = runner.run(emit=lambda c, l, r: got[c].append((l.copy(),
-                                                               r.copy())))
-    for fd in fds:
-        os.close(fd)
-    assert stats == {"blocks": n_blocks, "stations": 2}
-
     init_fn, step_fn = make_receiver(MODE0, (), jnp.float32,
                                      enable_rds=False)
     step = jax.jit(step_fn)
+    ref = {}
     for c in range(2):
         state = init_fn()
+        ref[c] = []
         for b in range(n_blocks):
             state, out = step(state,
                               jnp.asarray(caps[c][b * bs:(b + 1) * bs]))
-            np.testing.assert_array_equal(got[c][b][0], np.asarray(out.left))
-            np.testing.assert_array_equal(got[c][b][1],
-                                          np.asarray(out.right))
+            ref[c].append((np.asarray(out.left), np.asarray(out.right)))
+
+    for trial in range(4):
+        got = {0: [], 1: []}
+        fds = [os.open(p, os.O_RDONLY) for p in paths]
+        with BatchRunner(MODE0, fds, enable_rds=False) as runner:
+            stats = runner.run(emit=lambda c, l, r: got[c].append(
+                (l.copy(), r.copy())))
+        for fd in fds:
+            os.close(fd)
+        assert stats == {"blocks": n_blocks, "stations": 2}
+        for c in range(2):
+            for b in range(n_blocks):
+                np.testing.assert_array_equal(
+                    got[c][b][0], ref[c][b][0], err_msg=f"t{trial} c{c} b{b} L")
+                np.testing.assert_array_equal(
+                    got[c][b][1], ref[c][b][1], err_msg=f"t{trial} c{c} b{b} R")
 
 
 def test_block_reader_prefetch(tmp_path):
