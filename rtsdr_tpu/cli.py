@@ -11,6 +11,7 @@ stdout, RDS frame-sync events on stderr (mode 0).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -404,8 +405,39 @@ def _centers_to_offsets(cfg, k, spec):
             return None, (f"{tok.strip()} and {taken[c]} both map to "
                           f"channel {c} ({slots[c] / 1e6:+.1f}M)")
         taken[c] = tok.strip()
-        offsets[c] = np.mod(f - slots[c] + fs_w / 2, fs_w) - fs_w / 2
+        off = np.mod(f - slots[c] + fs_w / 2, fs_w) - fs_w / 2
+        # decodability bound: the station's ±100 kHz spectrum must stay
+        # inside its slot's passband after the mix-out.  A violation
+        # almost always means an ABSOLUTE RF frequency was typed instead
+        # of a capture-relative one (it wraps mod fs_w onto an arbitrary
+        # slot); without this check the result is silent noise wavs.
+        limit = 0.5 * cfg.rf.fs - 100e3
+        if abs(off) > limit:
+            return None, (
+                f"{tok.strip()} is {off / 1e3:+.0f} kHz from its nearest "
+                f"slot center ({slots[c] / 1e6:+.1f}M) — beyond the "
+                f"decodable ±{limit / 1e3:.0f} kHz.  Frequencies are "
+                "relative to the capture center (e.g. '+0.1M'), not "
+                "absolute RF")
+        offsets[c] = off
     return offsets, None
+
+
+def _read_exact_fd(fd: int, n: int) -> bytes | None:
+    """Read exactly n bytes from a RAW fd (os.read loop; short reads on
+    pipes are not EOF).  Raw, not sys.stdin.buffer: BufferedReader
+    over-fetches into its internal buffer, and any leftover there is
+    invisible to a later raw-fd consumer — --auto hands the same stream
+    from the scan pass to _wideband_decode's BlockReader, so a buffered
+    scan would silently drop up to buffer_size-1 bytes at the handoff
+    and misalign (even I/Q-swap) the entire decode."""
+    parts = bytearray()
+    while len(parts) < n:
+        chunk = os.read(fd, min(n - len(parts), 1 << 20))
+        if not chunk:
+            return None
+        parts.extend(chunk)
+    return bytes(parts)
 
 
 def _scan_band(cfg, k, max_blocks):
@@ -424,11 +456,12 @@ def _scan_band(cfg, k, max_blocks):
     state = init_fn()
     step = jax.jit(step_fn)
     wbs = k * cfg.block_size
+    fd = sys.stdin.fileno()
     acc = []
     blocks = 0
     while max_blocks is None or blocks < max_blocks:
-        raw = sys.stdin.buffer.read(wbs)
-        if len(raw) < wbs:
+        raw = _read_exact_fd(fd, wbs)
+        if raw is None:
             break
         m, state = step(state, jnp.asarray(np.frombuffer(raw, np.uint8)))
         if blocks > 0:   # block 0 carries filter warm-up transients

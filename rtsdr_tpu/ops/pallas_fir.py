@@ -281,20 +281,22 @@ def _resample_h(h: np.ndarray, up: int, down: int, b: int, hw: int,
     return np.where(valid, h64[np.clip(k, 0, t1)], 0.0).astype(np.float32)
 
 
-def _resample_mix_kernel(eh, ea, ih, ia, qh, qa, h_ref, yi, yq, w_ref,
-                         *, tile_c: int, hw: int):
-    """One (channel-tile, output-block) step of mixer + resampler.
+def _mix_resample_core(eh, ea, ih, ia, qh, qa, h_ref, w_ref,
+                       tile_c: int, hw: int):
+    """Shared core of the fused mixer+resampler kernels: one
+    (channel-tile, output-block) step returning the (2*tile_c, bp) f32
+    resampler output, I/Q branches stacked on sublanes.
 
     Builds the two mixed IF-rate streams (2*extract*nco_i/q) directly in
     VMEM from their head/A input blocks, truncates to bf16 (numerically
     identical to the XLA path's windows: TPU f32 dots truncate operands
     anyway) and contracts both in ONE dot against the phase-banded matrix,
-    the I/Q branches stacked on the sublane axis of a bf16 scratch so the
+    the branches stacked on the sublane axis of a bf16 scratch so the
     (2*tile_c, K) operand fills all 128 MXU rows (at the production
     tile_c=64 the previous per-branch split dots ran the MXU half-empty:
     one stacked dot measures 0.86 vs 1.14 ms at 1024 ch / block 304 —
-    round-4 A/B, tools/profile_resample.py; the 2021-round-3 hypothesis
-    that per-step VMEM copies dominated is retired by the same probe).
+    round-4 A/B, tools/profile_resample.py; the round-3 hypothesis that
+    per-step VMEM copies dominated is retired by the same probe).
     The head block's contribution is masked at j=0 where it is
     semantically the left zero-pad."""
     j = pl.program_id(1)
@@ -305,10 +307,16 @@ def _resample_mix_kernel(eh, ea, ih, ia, qh, qa, h_ref, yi, yq, w_ref,
     w_ref[:tile_c, hw:] = (e_a2 * ia[...]).astype(jnp.bfloat16)
     w_ref[tile_c:, :hw] = (e_h2 * qh[...]).astype(jnp.bfloat16)
     w_ref[tile_c:, hw:] = (e_a2 * qa[...]).astype(jnp.bfloat16)
-    o = jax.lax.dot_general(
+    return jax.lax.dot_general(
         w_ref[...], h_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+
+
+def _resample_mix_kernel(eh, ea, ih, ia, qh, qa, h_ref, yi, yq, w_ref,
+                         *, tile_c: int, hw: int):
+    o = _mix_resample_core(eh, ea, ih, ia, qh, qa, h_ref, w_ref,
+                           tile_c, hw)
     yi[...] = o[:tile_c]
     yq[...] = o[tile_c:]
 
@@ -440,44 +448,52 @@ def resample_mul2(extract, nco_i, nco_q, h, zi, up: int, down: int,
     return y, new_zi
 
 
-def _resample_mix_rrc_kernel(eh, ea, ih, ia, qh, qa, h_ref, h2_ref,
-                             yi, yq, ri, rq, w_ref, w2_ref,
-                             *, tile_c: int, hw: int, hw2: int, bp: int):
+def _resample_mix_rrc_kernel(*refs, tile_c: int, hw: int, hw2: int,
+                             bp: int, b: int, tw: int):
     """Mixer + resampler + RRC matched filter, one grid step.
 
-    The first dot is `_resample_mix_kernel` verbatim.  Its (2*tile_c, bp)
-    f32 result is then truncated to bf16 into the A-half of a persistent
+    The first dot is `_mix_resample_core`.  Its (2*tile_c, bp) f32
+    result is then truncated to bf16 into the A-half of a persistent
     rolling scratch whose head half holds the tail of the PREVIOUS output
     block (grid iterates j fastest, so consecutive steps are consecutive
     output blocks of one channel tile), and a second dot against a banded
-    RRC matrix emits the matched-filter output without the resampler
-    stream ever leaving VMEM.  The head half is zeroed at j=0 — there the
-    look-back is semantically the rrc_zi carry, applied outside in f32
-    (same boundary-matmul scheme as the resampler's own zi).  Replaces
-    the separate XLA RRC pass over the (c, 2, m) HBM intermediate
-    (reference chain: src/fm_radio.cpp:408-411, resample then RRC as two
-    block convolutions)."""
+    RRC matrix emits the matched-filter output.  The head half is zeroed
+    at j=0 — there the look-back is semantically the rrc_zi carry,
+    applied outside in f32 (same boundary-matmul scheme as the
+    resampler's own zi).  Replaces the separate XLA RRC pass over the
+    (c, 2, m) HBM intermediate (reference chain: src/fm_radio.cpp:
+    408-411, resample then RRC as two block convolutions).
+
+    ``tw > 0``: the resampler stream never leaves VMEM — only its last
+    ``tw`` valid columns (the next block's rrc_zi carry, f32) are
+    emitted via a constant-index tail output whose last grid step's
+    write wins.  ``tw == 0`` keeps full yi/yq outputs (geometries with
+    b < the tail width, where the carry spans output blocks)."""
+    (eh, ea, ih, ia, qh, qa, h_ref, h2_ref) = refs[:8]
+    if tw:
+        ty, ri, rq = refs[8:11]
+        w_ref, w2_ref = refs[11:13]
+    else:
+        yi, yq, ri, rq = refs[8:12]
+        w_ref, w2_ref = refs[12:14]
+    o = _mix_resample_core(eh, ea, ih, ia, qh, qa, h_ref, w_ref,
+                           tile_c, hw)
+    if tw:
+        ty[...] = o[:, b - tw:b]
+    else:
+        yi[...] = o[:tile_c]
+        yq[...] = o[tile_c:]
     j = pl.program_id(1)
-    mask = (j > 0).astype(jnp.float32)
-    e_h2 = eh[...] * (2.0 * mask)
-    e_a2 = ea[...] * 2.0
-    w_ref[:tile_c, :hw] = (e_h2 * ih[...]).astype(jnp.bfloat16)
-    w_ref[:tile_c, hw:] = (e_a2 * ia[...]).astype(jnp.bfloat16)
-    w_ref[tile_c:, :hw] = (e_h2 * qh[...]).astype(jnp.bfloat16)
-    w_ref[tile_c:, hw:] = (e_a2 * qa[...]).astype(jnp.bfloat16)
-    dn = (((1,), (0,)), ((), ()))
-    o = jax.lax.dot_general(w_ref[...], h_ref[...], dimension_numbers=dn,
-                            preferred_element_type=jnp.float32)
-    yi[...] = o[:tile_c]
-    yq[...] = o[tile_c:]
 
     @pl.when(j == 0)
     def _():
         w2_ref[:, :hw2] = jnp.zeros((2 * tile_c, hw2), jnp.bfloat16)
 
     w2_ref[:, hw2:] = o.astype(jnp.bfloat16)
-    r2 = jax.lax.dot_general(w2_ref[...], h2_ref[...], dimension_numbers=dn,
-                             preferred_element_type=jnp.float32)
+    r2 = jax.lax.dot_general(
+        w2_ref[...], h2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     ri[...] = r2[:tile_c]
     rq[...] = r2[tile_c:]
     # roll: keep the last hw2 lanes of this block for the next step
@@ -505,9 +521,14 @@ def _rrc_banded(rrc_h: np.ndarray, b: int, bp: int, hw2: int) -> np.ndarray:
     return m2.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9), inline=True)
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10),
+                   inline=True)
 def _pallas_resample_mix_rrc(e, ni, nq, h_mat, h2_mat, b: int, a_w: int,
-                             tile_c: int, hw: int, hw2: int):
+                             tile_c: int, hw: int, hw2: int, tw: int):
+    """Returns (y_tail | yi, yq, ri, rq): with tw > 0, y_tail is the
+    (2*c, tw) stacked-branch resampler tail (rows [2*tc*i, 2*tc*i+tc) =
+    I of channel tile i) and the full resampler stream never reaches
+    HBM; with tw == 0, full yi/yq come back (small-b geometries)."""
     c, n = e.shape
     m = n * b // a_w
     nblk = m // b
@@ -529,21 +550,43 @@ def _pallas_resample_mix_rrc(e, ni, nq, h_mat, h2_mat, b: int, a_w: int,
                                  memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec((hw2 + bp, bp), lambda i, j: (0, 0),
                                  memory_space=pltpu.VMEM))
+    rrc_specs = [pl.BlockSpec((tile_c, bp), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)] * 2
+    rrc_shape = [jax.ShapeDtypeStruct((c, nblk * bp), jnp.float32)] * 2
+    if tw:
+        out_specs = [pl.BlockSpec((2 * tile_c, tw), lambda i, j: (i, 0),
+                                  memory_space=pltpu.VMEM)] + rrc_specs
+        out_shape = [jax.ShapeDtypeStruct((2 * c, tw), jnp.float32)
+                     ] + rrc_shape
+    else:
+        out_specs = rrc_specs[:1] * 2 + rrc_specs
+        out_shape = rrc_shape + rrc_shape
     outs = pl.pallas_call(
         functools.partial(_resample_mix_rrc_kernel, tile_c=tile_c, hw=hw,
-                          hw2=hw2, bp=bp),
+                          hw2=hw2, bp=bp, b=b, tw=tw),
         grid=(c // tile_c, nblk),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((tile_c, bp), lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)] * 4,
-        out_shape=[jax.ShapeDtypeStruct((c, nblk * bp), jnp.float32)] * 4,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((2 * tile_c, hw + a_w), jnp.bfloat16),
                         pltpu.VMEM((2 * tile_c, hw2 + bp), jnp.bfloat16)],
         interpret=jax.default_backend() != "tpu",
     )(e, e, ni, ni, nq, nq, h_mat, h2_mat)
-    if bp == b:
-        return outs
-    return [o.reshape(c, nblk, bp)[..., :b].reshape(c, m) for o in outs]
+    if tw:
+        ty = outs[0].reshape(c // tile_c, 2, tile_c, tw)
+        yi = ty[:, 0].reshape(c, tw)
+        yq = ty[:, 1].reshape(c, tw)
+        rest = outs[1:]
+    else:
+        yi, yq = outs[:2]
+        rest = outs[2:]
+    if bp != b:
+        rest = [o.reshape(c, nblk, bp)[..., :b].reshape(c, m)
+                for o in rest]
+        if not tw:
+            yi = yi.reshape(c, nblk, bp)[..., :b].reshape(c, m)
+            yq = yq.reshape(c, nblk, bp)[..., :b].reshape(c, m)
+    return yi, yq, rest[0], rest[1]
 
 
 def resample_mul2_rrc(extract, nco_i, nco_q, h, zi, rrc_h, rrc_zi,
@@ -619,10 +662,15 @@ def resample_mul2_rrc(extract, nco_i, nco_q, h, zi, rrc_h, rrc_zi,
                         jnp.bfloat16)
     h2_mat = jnp.asarray(_rrc_banded(rrc_np, b, bp, hw2), jnp.bfloat16)
     e2 = extract.reshape(flat, n)
+    # tail-only resampler output where one block covers the rrc carry:
+    # the full (c, 2, m) stream then never reaches HBM (saves its write;
+    # the only consumer outside the kernel is the last t1r columns)
+    tw = -(-t1r // 128) * 128
+    if tw > b:
+        tw = 0
     yi, yq, ri, rq = _pallas_resample_mix_rrc(
         e2, nco_i.reshape(flat, n), nco_q.reshape(flat, n), h_mat, h2_mat,
-        b, a_w, tile_c, h_w, hw2)
-    y = jnp.stack([yi, yq], axis=-2).reshape(*batch, 2, m)
+        b, a_w, tile_c, h_w, hw2, tw)
     rrc = jnp.stack([ri, rq], axis=-2).reshape(*batch, 2, m)
 
     # resampler zi boundary (same as resample_mul2) ...
@@ -633,7 +681,9 @@ def resample_mul2_rrc(extract, nco_i, nco_q, h, zi, rrc_h, rrc_zi,
         preferred_element_type=jnp.float32)
     # the resampler tail (-> next block's rrc_zi) is far from the zi
     # boundary (m >= kz38 + t1r checked above), so it needs no correction
-    new_rrc_zi = y[..., -t1r:]
+    tail_w = tw if tw else m
+    y_tail = jnp.stack([yi, yq], axis=-2).reshape(*batch, 2, tail_w)
+    new_rrc_zi = y_tail[..., -t1r:]
 
     # ... its effect propagated through the RRC by linearity
     i_idx = np.arange(kz.shape[0])[:, None]

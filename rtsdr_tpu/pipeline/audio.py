@@ -50,6 +50,16 @@ def _audio_taps(cfg: ReceiverConfig) -> int:
     return cfg.mono.taps * cfg.mono.up
 
 
+def audio_lpf_taps(cfg: ReceiverConfig):
+    """The mono/stereo 16 kHz resampler LPF (single source of truth —
+    the receiver's fused ingest+audio kernel consumes the SAME design,
+    so a change here cannot silently diverge from the unfused path)."""
+    from rtsdr_tpu.ops import coeffs
+
+    return coeffs.lowpass_taps(cfg.rf.if_fs * cfg.mono.up, cfg.mono.fc,
+                               _audio_taps(cfg))
+
+
 def audio_init(cfg: ReceiverConfig, batch_shape: tuple = (),
                dtype=jnp.float32, enable_stereo: bool = True,
                deemphasis: float | None = None) -> AudioState:
@@ -103,8 +113,8 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
     up, down = cfg.mono.up, cfg.mono.down
     taps = _audio_taps(cfg)
     # Resampler LPF cutoff: min(passband, anti-image) = 16 kHz for both
-    # modes, designed at the dilated rate if_fs*up.
-    mono_h = coeffs.lowpass_taps(if_fs * up, cfg.mono.fc, taps)
+    # modes, designed at the dilated rate if_fs*up (audio_lpf_taps).
+    mono_h = audio_lpf_taps(cfg)
     pilot_h = coeffs.bandpass_taps(if_fs, cfg.stereo.pilot_lo,
                                    cfg.stereo.pilot_hi, cfg.stereo.taps)
     chan_h = coeffs.bandpass_taps(if_fs, cfg.stereo.chan_lo,

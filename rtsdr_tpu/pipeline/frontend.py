@@ -49,12 +49,18 @@ def frontend_init(cfg: ReceiverConfig, batch_shape: tuple = (),
     )
 
 
+def rf_lpf_taps(cfg: ReceiverConfig):
+    """The RF front-end LPF (single source of truth — the receiver's
+    fused ingest paths consume the SAME design)."""
+    return coeffs.lowpass_taps(cfg.rf.fs, cfg.rf.fc, cfg.rf.taps)
+
+
 def make_frontend(cfg: ReceiverConfig, dtype=jnp.float32, impl: str = "auto"):
     """Returns ``frontend(state, raw_u8) -> (fm_demod, new_state)``.
 
     raw_u8: (..., block_size) interleaved uint8; fm_demod: (..., if_len).
     """
-    rf_h = coeffs.lowpass_taps(cfg.rf.fs, cfg.rf.fc, cfg.rf.taps)
+    rf_h = rf_lpf_taps(cfg)
     decim = cfg.rf.decim
     if impl == "auto":
         impl = ("fused" if jax.default_backend() == "tpu"

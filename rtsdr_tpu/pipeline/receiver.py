@@ -103,13 +103,12 @@ def make_receiver(
     # kernel, ops/ingestfir.py): the audio filter consumes each fm block
     # in VMEM; in the mono-only configuration the demodulated stream
     # never reaches HBM at all (~126 MB/step saved at 1024 channels).
-    from rtsdr_tpu.ops import coeffs as _coeffs
-    from rtsdr_tpu.pipeline.audio import _audio_taps
+    from rtsdr_tpu.pipeline.audio import _audio_taps, audio_lpf_taps
+    from rtsdr_tpu.pipeline.frontend import rf_lpf_taps
 
-    _rf_h = _coeffs.lowpass_taps(cfg.rf.fs, cfg.rf.fc, cfg.rf.taps)
+    _rf_h = rf_lpf_taps(cfg)
     _audio_taps_n = _audio_taps(cfg)
-    _mono_h = _coeffs.lowpass_taps(cfg.rf.if_fs * cfg.mono.up, cfg.mono.fc,
-                                   _audio_taps_n)
+    _mono_h = audio_lpf_taps(cfg)
     fuse_audio_ok = (frontend_impl in ("auto", "fused")
                      and dtype == jnp.float32 and cfg.mono.up == 1)
     rds_fn = (make_rds(cfg, pll_impl=pll_impl, resamp_impl=resamp_impl,

@@ -100,6 +100,16 @@ def make_wideband_receiver(
     if offs is not None:
         mix_step = -2.0 * np.pi * offs / cfg.rf.fs          # rad/sample
         blk_adv = np.mod(mix_step * m_per_block, 2.0 * np.pi)
+        # NCO ramp reduced mod 2pi in float64 AT BUILD TIME: step*m is
+        # data-independent, and evaluating it in f32 lets the angle grow
+        # to |step|*m_per_block rad — at a 1 MHz residual offset that is
+        # ~4e5 rad where the f32 ulp is 0.03 rad, i.e. ~5 kHz RMS
+        # instantaneous-frequency noise on the mixed carrier.  Reduced,
+        # the in-step angle stays bounded by 4pi.
+        mix_ramp = np.mod(
+            np.asarray(mix_step, np.float64)[:, None]
+            * np.arange(m_per_block, dtype=np.float64),
+            2.0 * np.pi)
 
     def init_fn() -> WidebandState:
         chan_zi = (channelizer_zi_u8(k, taps, batch_shape) if use_u8
@@ -128,10 +138,10 @@ def make_wideband_receiver(
         mix_phase = state.mix_phase
         if offs is not None:
             # residual per-slot downconversion at the channel rate:
-            # (I + jQ) * exp(j*(phase_k + step_k*m))
-            m_idx = jnp.arange(m_per_block, dtype=dtype)
+            # (I + jQ) * exp(j*(phase_k + step_k*m)), the ramp pre-reduced
+            # mod 2pi in float64 (see mix_ramp above)
             ang = (state.mix_phase[:, None]
-                   + jnp.asarray(mix_step, dtype)[:, None] * m_idx)
+                   + jnp.asarray(mix_ramp, dtype))
             c, s = jnp.cos(ang), jnp.sin(ang)     # (K, M)
             i_in = raw_iq[..., 0, :]
             q_in = raw_iq[..., 1, :]

@@ -111,10 +111,25 @@ class BlockReader:
             return
         self._h = self._lib.rtsdr_reader_create(fd, block_size, n_slots)
 
+    def _read_exact(self) -> bytes | None:
+        """Fallback full-block read: FileIO.read issues ONE os.read, and
+        a pipe returns only what is currently buffered — a short read
+        mid-stream is NOT EOF (the C++ producer loops the same way,
+        ingest.cpp).  Loop until the block is full or the stream ends;
+        a partial trailing block is dropped, matching the reference
+        (src/iofunc.cpp:61-69 via cin.read + gcount)."""
+        parts = bytearray()
+        while len(parts) < self.block_size:
+            chunk = self._file.read(self.block_size - len(parts))
+            if not chunk:
+                return None
+            parts.extend(chunk)
+        return bytes(parts)
+
     def read_block(self):
         if self._h is None:  # numpy fallback: blocking read
-            buf = self._file.read(self.block_size)
-            if buf is None or len(buf) < self.block_size:
+            buf = self._read_exact()
+            if buf is None:
                 return None
             return np.frombuffer(buf, np.uint8)
         slot = self._lib.rtsdr_reader_acquire(self._h)
@@ -132,8 +147,8 @@ class BlockReader:
         staging array that becomes a single device transfer."""
         assert dst.nbytes == self.block_size and dst.flags["C_CONTIGUOUS"]
         if self._h is None:
-            buf = self._file.read(self.block_size)
-            if buf is None or len(buf) < self.block_size:
+            buf = self._read_exact()
+            if buf is None:
                 return False
             dst[:] = np.frombuffer(buf, np.uint8)
             return True

@@ -252,3 +252,87 @@ def test_cli_scan_requires_wideband():
         timeout=120)
     assert proc.returncode == 1
     assert b"--scan requires --wideband" in proc.stderr
+
+
+def test_block_reader_fallback_short_reads(monkeypatch):
+    """The no-native-library fallback must loop on short reads: a pipe
+    returns only what is buffered, and FileIO.read issues ONE os.read —
+    the old fallback reported mid-stream EOF the first time a block
+    exceeded the pipe buffer (every --wideband block does)."""
+    import threading
+
+    import rtsdr_tpu.runtime as rt
+
+    monkeypatch.setattr(rt, "_load", lambda: None)
+    r_fd, w_fd = os.pipe()
+    data = bytes(range(256)) * 1000          # 256,000 bytes
+    def writer():
+        for i in range(0, len(data), 10_000):   # dribble odd chunks
+            os.write(w_fd, data[i:i + 10_000])
+        os.close(w_fd)
+    t = threading.Thread(target=writer)
+    t.start()
+    got = []
+    with rt.BlockReader(r_fd, 70_000) as reader:
+        while True:
+            blk = reader.read_block()
+            if blk is None:
+                break
+            got.append(blk)
+    t.join()
+    os.close(r_fd)
+    assert len(got) == 3                       # 256000 // 70000
+    np.testing.assert_array_equal(
+        np.concatenate(got), np.frombuffer(data[:210_000], np.uint8))
+
+
+def test_cli_auto_pipe_chunked(tmp_path):
+    """--auto over a LIVE PIPE written in odd-sized chunks: the scan
+    pass hands the stream to the decode pass mid-flow, so any bytes
+    stranded in a buffered reader at the handoff would shift (or
+    I/Q-swap) everything the decoder sees.  The station tone surviving
+    in its slot proves the handoff is byte-exact."""
+    import threading
+    import wave
+
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_scan import _wideband_capture
+
+    k, n_blocks = 2, 5
+    raw = _wideband_capture(k, n_blocks, {
+        1: dict(rng=np.random.default_rng(3)),
+    }).tobytes()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rtsdr_jax_cache")
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "rtsdr_tpu.cli", "0", "--no-rds",
+         "--wideband", str(k), "--auto"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, env=env, cwd=tmp_path)
+
+    def feeder():
+        for i in range(0, len(raw), 9_973):     # prime-sized chunks
+            proc.stdin.write(raw[i:i + 9_973])
+        proc.stdin.close()
+
+    t = threading.Thread(target=feeder)
+    t.start()
+    t.join(timeout=540)   # stdin fully written and closed by the feeder
+    proc.stdin = None     # communicate() must not touch the closed pipe
+    out, err = proc.communicate(timeout=540)
+    assert proc.returncode == 0, err.decode()[-2000:]
+    assert b"auto: 1/2 slots active" in err
+    assert b"processed 2 wideband blocks" in err
+    with wave.open(str(tmp_path / "channel1.wav")) as w:
+        frames = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    audio = frames.reshape(-1, 2)[:, 0].astype(np.float64) / 16384.0
+    x = audio[3072:]
+    tt = np.arange(len(x)) / 48e3
+    amp = 2 * np.hypot(np.mean(x * np.sin(2 * np.pi * 1.1e3 * tt)),
+                       np.mean(x * np.cos(2 * np.pi * 1.1e3 * tt)))
+    assert amp > 0.3, f"tone lost: handoff misaligned the stream ({amp})"

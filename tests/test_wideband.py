@@ -219,7 +219,8 @@ def test_wideband_rds_decodes_per_channel():
         assert len(decs[ch].groups) == 0, f"slot {ch} decoded phantom groups"
 
 
-def test_wideband_off_grid_station_decodes():
+@pytest.mark.parametrize("off_hz", [150e3, 1e6])
+def test_wideband_off_grid_station_decodes(off_hz):
     """OFF-GRID support (channel_offsets_hz): a station 150 kHz off its
     slot center — a real 100 kHz-raster frequency that the k*fs_w/K grid
     cannot hit — must decode with full stereo separation once the
@@ -227,12 +228,15 @@ def test_wideband_off_grid_station_decodes():
     without the offset (the 100 kHz RF LPF kills a 150 kHz-detuned
     station; the reference retunes the dongle instead,
     src/fm_radio.cpp:736-764).  Also checks the carried NCO phase chains
-    blocks continuously (tones stay clean across the 3-block run)."""
+    blocks continuously (tones stay clean across the 3-block run).
+
+    The 1 MHz point guards the NCO's float64 mod-2pi ramp reduction: an
+    unreduced f32 angle reaches ~4e5 rad there (ulp 0.03 rad — ~5 kHz
+    RMS instantaneous-frequency noise), wrecking stereo separation."""
     k = 4
     n_blocks = 3
     bs = MODE0.block_size
     n_iq = n_blocks * bs // 2
-    off_hz = 150e3
     fs_w = k * MODE0.rf.fs
 
     u8 = synth_multiplex_iq(n_iq, mono_hz=1.1e3, quantize=False)
@@ -273,8 +277,14 @@ def test_wideband_off_grid_station_decodes():
     expected = 2 * np.pi * 75e3 * 0.45 / 240e3
     assert sep > 0.8 * expected, f"off-grid stereo separation: {sep}"
 
-    left0, right0 = run(None)             # no correction: station is gone
-    assert _tone_amp(left0[1] + right0[1], 1.1e3) / 2 < 0.1 * mono_amp
+    if off_hz <= 200e3:
+        # negative control (raster case only): without the offset the
+        # 100 kHz RF LPF kills the station.  At large offsets this
+        # check is meaningless — FM demod is amplitude-blind, so even
+        # the LPF's deep-stopband leak demodulates to a partially-
+        # coherent tone (~0.3x here) at terrible SNR.
+        left0, right0 = run(None)
+        assert _tone_amp(left0[1] + right0[1], 1.1e3) / 2 < 0.1 * mono_amp
 
 
 def test_channel_center_freqs():
@@ -311,6 +321,18 @@ def test_cli_centers_to_offsets():
 
     _, err = _centers_to_offsets(MODE0, 4, "oops")
     assert err is not None
+
+    # a residual beyond the decodable +/-1.1 MHz band (e.g. an absolute
+    # RF frequency whose fs_w wrap lands mid-gap) -> loud error, not
+    # silent noise wavs.  (The wrap of a typo CAN land in-band — 98.1M
+    # mod 9.6M = 2.1M, a valid -0.3 MHz residual — so this guard is
+    # necessary but not sufficient for typos.)
+    _, err = _centers_to_offsets(MODE0, 4, "+1.15M")
+    assert err is not None and "relative to the capture center" in err
+    # the boundary itself still parses (1 MHz < 1.1 MHz limit)
+    offs, err = _centers_to_offsets(MODE0, 4, "+1.0M")
+    assert err is None
+    np.testing.assert_allclose(offs, [1.0e6, 0.0, 0.0, 0.0])
 
 
 def test_u8_channelizer_matches_complex_path(rng):
