@@ -169,6 +169,7 @@ def main(argv=None) -> int:
                 return 1
             kwargs["channel_offsets_hz"] = offsets
         active = None
+        decode_blocks = args.blocks
         if args.auto:
             # 3 blocks = 1 warm-up + 2 averaged (192 ms of air time);
             # the rest of the capture goes to the decode pass
@@ -187,7 +188,11 @@ def main(argv=None) -> int:
             if not n_act:
                 print("auto: no active stations found", file=sys.stderr)
                 return 0
-        return _wideband_decode(cfg, args.wideband, args.blocks, kwargs,
+            if decode_blocks is not None:
+                # the scan pass counts toward --blocks: N total blocks
+                # are consumed, scan first, decode the remainder
+                decode_blocks = max(0, decode_blocks - used)
+        return _wideband_decode(cfg, args.wideband, decode_blocks, kwargs,
                                 rds_groups=args.rds_groups, active=active,
                                 pty_table=args.pty_table)
 
@@ -252,6 +257,9 @@ def _print_rds_summary(decoder, prefix: str = "") -> None:
     print(f"{prefix}RDS: PI=0x{decoder.pi:04X} PTY={pty} "
           f"PS='{decoder.ps_name}' RT='{decoder.radiotext_str}'",
           file=sys.stderr)
+    if decoder.long_ps_str:
+        print(f"{prefix}RDS: Long PS '{decoder.long_ps_str}'",
+              file=sys.stderr)
     if decoder.ptyn_str:
         print(f"{prefix}RDS: PTYN='{decoder.ptyn_str}'", file=sys.stderr)
     if decoder.af_mhz:
@@ -282,6 +290,10 @@ def _print_rds_summary(decoder, prefix: str = "") -> None:
     for pi_on, on in sorted(decoder.eon.items()):
         extra = f" AF {sorted(on.af_mhz)}" if on.af_mhz else ""
         print(f"{prefix}RDS: EON PI=0x{pi_on:04X} PS='{on.ps_name}'{extra}",
+              file=sys.stderr)
+    for pi_on, ta in decoder.eon_ta_events:
+        verb = "started" if ta else "ended"
+        print(f"{prefix}RDS: EON TA {verb} on PI=0x{pi_on:04X} (14B)",
               file=sys.stderr)
 
 

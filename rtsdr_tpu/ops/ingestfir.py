@@ -308,7 +308,7 @@ def _second_stage_h(h: np.ndarray, n_in: int, n_out: int, stride: int,
     p = np.arange(hw2)[:, None]
     r = np.arange(n_out)[None, :]
     k = r * stride + hw2 - p                  # previous block half
-    valid = (k >= 1) & (k <= t1) & ((n_in - hw2) + p < n_in)
+    valid = (k >= 1) & (k <= t1)
     m[:hw2] = np.where(valid, h64[np.clip(k, 0, t1)], 0.0)
     p = np.arange(n_in)[:, None]
     k = r * stride - p                         # current block half
@@ -553,7 +553,11 @@ def ingest_fir_demod_audio(
     if impl == "pallas":
         ok = ingest_audio_eligible(raw_u8, taps, decim, 1, t1m + 1,
                                    audio_down, block=block, policy=False)
-        assert ok, "ingest_fir_demod_audio: geometry not Pallas-eligible"
+        if not ok:
+            raise ValueError(
+                "ingest_fir_demod_audio: geometry not Pallas-eligible "
+                f"(shape {raw_u8.shape}, dtype {raw_u8.dtype}, decim "
+                f"{decim}, audio taps {t1m + 1}, down {audio_down})")
     elif impl == "auto":
         ok = ingest_audio_eligible(raw_u8, taps, decim, 1, t1m + 1,
                                    audio_down, block=block)

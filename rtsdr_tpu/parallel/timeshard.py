@@ -86,6 +86,8 @@ def make_time_sharded_receiver(
     resamp_impl: str = "auto",
     pll_handoff: str = "exact",
     pll_loop_div: int = 1,
+    error_correct: bool = False,
+    stereo_blend: bool | tuple = False,
 ):
     """Build ``(init_fn, step_fn)`` sharded over (channel, time).
 
@@ -116,6 +118,16 @@ def make_time_sharded_receiver(
     """
     if enable_rds is None:
         enable_rds = cfg.rds is not None
+    blend_range = None
+    if stereo_blend:
+        # same thresholds/semantics as the serial receiver
+        # (pipeline/audio.py make_audio); the pilot-RMS reduction runs as
+        # a psum of per-shard partial sums over the time axis, so the
+        # blend factor is replicated and every shard scales its own chunk
+        blend_range = (0.02, 0.08) if stereo_blend is True else stereo_blend
+        if not blend_range[1] > blend_range[0]:
+            raise ValueError(
+                f"stereo_blend thresholds need hi > lo, got {blend_range}")
     assert pll_handoff in ("exact", "stale", "iterate")
     concurrent_pll = pll_handoff != "exact"
     pll_passes = {"exact": 0, "stale": 1, "iterate": 2}[pll_handoff]
@@ -136,7 +148,8 @@ def make_time_sharded_receiver(
         cfg, (n_channels,), dtype, enable_rds=enable_rds,
         enable_frame=enable_frame, offset_mode=offset_mode,
         use_abs_clock=use_abs_clock, deemphasis=deemphasis,
-        resamp_impl=resamp_impl)
+        resamp_impl=resamp_impl, error_correct=error_correct,
+        stereo_blend=stereo_blend)
 
     # coefficients (host constants, closed over)
     if ingest_impl == "auto":
@@ -180,7 +193,8 @@ def make_time_sharded_receiver(
         if enable_frame:
             frame_fn = jax.vmap(make_frame(cfg, offset_mode=offset_mode,
                                            use_abs_clock=use_abs_clock,
-                                           resync=resync))
+                                           resync=resync,
+                                           error_correct=error_correct))
 
     def shard_body(state, raw_u8: jax.Array):
         t_id = lax.axis_index(TIME_AXIS)
@@ -331,6 +345,19 @@ def make_time_sharded_receiver(
         stereo, stereo_zi = halo_fir(fir_resample, mixed, audio_h,
                                      state.audio.stereo_zi, up, down,
                                      tail=st_u_tail)
+        if blend_range is not None:
+            # pilot RMS over the FULL block (the serial receiver's
+            # stateless per-block metric, pipeline/audio.py): psum the
+            # per-shard pilot-power partial sums over t — the blend
+            # factor replicates, each shard scales its own stereo chunk.
+            # Not bitwise vs serial (different reduction grouping of the
+            # same mean); agrees to f32 reduction noise (~1e-7 relative).
+            lo, hi = blend_range
+            p_ss = lax.psum(jnp.sum(pilot * pilot, axis=-1, keepdims=True),
+                            TIME_AXIS)
+            p_rms = jnp.sqrt(p_ss * (1.0 / cfg.if_len))
+            blend = jnp.clip((p_rms - lo) * (1.0 / (hi - lo)), 0.0, 1.0)
+            stereo = stereo * blend
         left = 0.5 * (mono + stereo)
         right = 0.5 * (mono - stereo)
         de_carry = None

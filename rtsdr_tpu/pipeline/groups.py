@@ -18,9 +18,16 @@ Group layout (RDS standard, IEC 62106):
   1A:      block D = Program Item Number (day/hour/minute)
   3A:      ODA announcement: B[4:0] = applied group, block D = AID
   4A:      clock time/date: 17-bit MJD + hour/minute + local offset
-  8A:      TMC / ALERT-C (ISO 14819-1); single-group user messages
+  8A:      TMC / ALERT-C (ISO 14819-1); single-group user messages AND
+           multi-group messages (F=0, continuity index in B[2:0],
+           label/value containers in the subsequent groups)
   10A:     Program Type Name segment in B[0]; blocks C+D = 4 PTYN chars
   14A:     EON: block D = PI(ON); variants 0-3 = PS(ON), 4 = AF(ON)
+  14B:     EON immediate TA switching: TP(ON) B[4], TA(ON) B[3],
+           PI(ON) in block D — a receiver retunes to the other network
+           for the announcement when TA(ON) flips 0->1
+  15A:     Long PS (RBDS / NRSC-4): 32-byte UTF-8 station name, 4 bytes
+           per segment (C+D), segment address B[2:0]
   15B:     fast basic tuning: TA/MS/DI flags only (B repeated in D)
   RT+:     RadioText Plus tags (ODA 0x4BD7, RDS Forum R06/040_1) in
            whatever group a 3A announced — artist/title/etc. spans of
@@ -129,19 +136,42 @@ class ProgramItem:
 
 @dataclass(frozen=True)
 class TMCEvent:
-    """ALERT-C single-group user message (ISO 14819-1 §5.3): 8A with
-    X4=0 (user message) and F=1 (single group)."""
+    """ALERT-C user message (ISO 14819-1 §5.3/§5.4): 8A with X4=0.
+    Single-group (F=1) messages carry only the base fields; multi-group
+    (F=0) messages add the label/value containers of their subsequent
+    groups in ``additional``."""
     event: int      # 11-bit event code
     location: int   # 16-bit location-table reference
     extent: int     # 0-7 locations affected beyond `location`
     direction: int  # 0 = positive, 1 = negative
-    diversion: int  # drivers advised to divert
-    duration: int   # 3-bit duration/persistence code
+    diversion: int  # drivers advised to divert (single-group only)
+    duration: int   # 3-bit duration/persistence (single-group only)
+    additional: tuple = ()   # ((label, value), ...) from multi-group data
 
     def __str__(self) -> str:
+        extra = ""
+        if self.additional:
+            parts = []
+            for lbl, val in self.additional:
+                name = TMC_LABEL_NAMES.get(lbl, f"label{lbl}")
+                parts.append(f"{name}={val}")
+            extra = " [" + " ".join(parts) + "]"
         return (f"event {self.event} at loc {self.location} "
                 f"ext {'-' if self.direction else '+'}{self.extent}"
-                f"{' divert' if self.diversion else ''}")
+                f"{' divert' if self.diversion else ''}{extra}")
+
+
+#  ISO 14819-1 §5.5: value length (bits) per label in the multi-group
+#  additional-data "label + value" stream.
+TMC_LABEL_SIZES = {0: 3, 1: 3, 2: 5, 3: 5, 4: 5, 5: 8, 6: 8, 7: 8,
+                   8: 8, 9: 11, 10: 16, 11: 16, 12: 16, 13: 16,
+                   14: 0, 15: 0}
+TMC_LABEL_NAMES = {0: "duration", 1: "control", 2: "length_km",
+                   3: "speed_limit_5kmh", 4: "quantifier5",
+                   5: "quantifier8", 6: "suppl_info", 7: "explicit_start",
+                   8: "explicit_stop", 9: "add_event", 10: "detailed_loc",
+                   11: "destination", 13: "cross_linkage",
+                   14: "separator"}
 
 
 @dataclass
@@ -198,8 +228,11 @@ class GroupDecoder:
     _di_seen: int = 0                             # which DI bits arrived
     pin: ProgramItem | None = None                # latest 1A group
     oda: dict = field(default_factory=dict)       # group name -> AID (3A)
-    tmc_events: list = field(default_factory=list)  # 8A single-group msgs
+    tmc_events: list = field(default_factory=list)  # 8A user messages
+    _tmc_multi: dict = field(default_factory=dict)  # CI -> partial multi-grp
     eon: dict = field(default_factory=dict)       # PI(ON) -> EONStation
+    eon_ta_events: list = field(default_factory=list)  # 14B (PI_ON, TA_ON)
+    long_ps_bytes: list = field(default_factory=lambda: [0] * 32)  # 15A
     rtplus: dict = field(default_factory=dict)    # RT+ content -> text
     rtplus_item_running: bool | None = None
     ert_bytes: list = field(default_factory=lambda: [0] * 128)  # eRT
@@ -336,20 +369,40 @@ class GroupDecoder:
         elif (g.group_type == 8 and g.version == 0
               and self.oda.get("8A", 0xCD46) == 0xCD46):
             # ALERT-C (8A is TMC by convention unless a 3A announced a
-            # different ODA for it): decode only single-group user
-            # messages (X4=0 user message, F=1 single group, ISO
-            # 14819-1 §5.3).  Repeats dedupe via a seen-set (stations
-            # cycle their active message set continuously), capped so a
-            # long-running session stays bounded.
-            if (ib >> 4) & 1 == 0 and (ib >> 3) & 1 == 1:
-                ev = TMCEvent(event=ic & 0x7FF, location=id_,
-                              extent=(ic >> 11) & 0x7,
-                              direction=(ic >> 14) & 1,
-                              diversion=(ic >> 15) & 1,
-                              duration=ib & 0x7)
-                if ev not in self._tmc_seen and len(self.tmc_events) < 256:
-                    self._tmc_seen.add(ev)
-                    self.tmc_events.append(ev)
+            # different ODA for it), X4=0 user messages only.  F=1 =
+            # single group (ISO 14819-1 §5.3); F=0 = multi-group
+            # (§5.4): the first group (C[15]=1) carries the base
+            # event/location, subsequent groups (C[15]=0) carry 28-bit
+            # label/value containers, chained by the continuity index
+            # in B[2:0] and counted down by GSI in C[13:12].  Repeats
+            # dedupe via a seen-set (stations cycle their active
+            # message set continuously), capped so a long-running
+            # session stays bounded.
+            if (ib >> 4) & 1 == 0:
+                if (ib >> 3) & 1 == 1:          # single group
+                    self._emit_tmc(TMCEvent(
+                        event=ic & 0x7FF, location=id_,
+                        extent=(ic >> 11) & 0x7,
+                        direction=(ic >> 14) & 1,
+                        diversion=(ic >> 15) & 1,
+                        duration=ib & 0x7))
+                else:                           # multi-group
+                    self._tmc_multi_feed(ib & 0x7, ic, id_)
+        elif g.group_type == 14 and g.version == 1:
+            # 14B: EON immediate traffic switching — the other network
+            # PI(ON) (block D) just started (TA(ON) 0->1) or finished
+            # (1->0) a traffic announcement; a real receiver retunes for
+            # its duration.  TP(ON)=B[4], TA(ON)=B[3] (IEC 62106
+            # §3.2.1.8.4).  Block 3 is the PI repeat under C' (already
+            # validated above).
+            ta_on = (ib >> 3) & 1
+            on = self.eon.setdefault(id_, EONStation())
+            started = ta_on == 1 and on.ta != 1
+            ended = ta_on == 0 and on.ta == 1
+            if started or ended:
+                self.eon_ta_events.append((id_, ta_on))
+                del self.eon_ta_events[:-64]   # bounded history
+            on.ta = ta_on
         elif g.group_type == 14 and g.version == 0:
             on = self.eon.setdefault(id_, EONStation())  # block D = PI(ON)
             variant = ib & 0xF
@@ -386,6 +439,13 @@ class GroupDecoder:
             for k, ch in enumerate(((ic >> 8) & 0xFF, ic & 0xFF,
                                     (id_ >> 8) & 0xFF, id_ & 0xFF)):
                 self.ptyn[4 * seg + k] = chr(ch)
+        elif g.group_type == 15 and g.version == 0:
+            # 15A Long PS (RBDS / NRSC-4-B): 32 UTF-8 bytes, 8 segments
+            # of 4 bytes (C+D), segment address in B[2:0]
+            seg = ib & 0x7
+            for k, byte in enumerate(((ic >> 8) & 0xFF, ic & 0xFF,
+                                      (id_ >> 8) & 0xFF, id_ & 0xFF)):
+                self.long_ps_bytes[4 * seg + k] = byte
         elif self.oda.get(g.name) == 0x4BD7:
             self._decode_rtplus(ib, ic, id_)   # RadioText Plus tags
         elif self.oda.get(g.name) == 0x6552:
@@ -397,6 +457,67 @@ class GroupDecoder:
                                       (id_ >> 8) & 0xFF, id_ & 0xFF)):
                 self.ert_bytes[4 * seg + k] = byte
         return g
+
+    def _emit_tmc(self, ev: TMCEvent) -> None:
+        if ev not in self._tmc_seen and len(self.tmc_events) < 256:
+            self._tmc_seen.add(ev)
+            self.tmc_events.append(ev)
+
+    def _tmc_multi_feed(self, ci: int, ic: int, id_: int) -> None:
+        """One 8A multi-group message group (ISO 14819-1 §5.4).
+
+        First group: C[15]=1, same C/D layout as single-group minus the
+        diversion bit (D=location, C=direction/extent/event).  Subsequent
+        groups: C[15]=0, C[14]=SG (1 only in the 2nd group), C[13:12]=GSI
+        (remaining group count, 0 in the last), C[11:0]+D = 28 bits of
+        label/value additional data.  Groups chain by the continuity
+        index CI; an interrupted chain is simply overwritten when the CI
+        reappears as a new first group."""
+        if (ic >> 15) & 1:                       # first group
+            self._tmc_multi[ci] = {
+                "event": ic & 0x7FF, "location": id_,
+                "extent": (ic >> 11) & 0x7, "direction": (ic >> 14) & 1,
+                "bits": [], "nbits": 0}
+            return
+        m = self._tmc_multi.get(ci)
+        if m is None:                            # missed the first group
+            return
+        gsi = (ic >> 12) & 0x3
+        m["bits"].append((ic & 0xFFF) << 16 | id_)
+        m["nbits"] += 28
+        if gsi != 0:
+            return
+        # last group arrived: concatenate containers MSB-first and walk
+        # the label(4) + value stream; an all-zero tail is padding
+        # ("label 0, value 0" = duration 0, the defined filler)
+        val = 0
+        for b28 in m["bits"]:
+            val = (val << 28) | b28
+        nbits = m["nbits"]
+        pairs = []
+        pos = nbits
+        while pos >= 4:
+            lbl = (val >> (pos - 4)) & 0xF
+            size = TMC_LABEL_SIZES[lbl]
+            if pos - 4 < size:
+                break
+            v = (val >> (pos - 4 - size)) & ((1 << size) - 1) if size else 0
+            pos -= 4 + size
+            if lbl == 0 and v == 0:
+                continue                         # filler
+            pairs.append((lbl, v))
+        del self._tmc_multi[ci]
+        self._emit_tmc(TMCEvent(
+            event=m["event"], location=m["location"], extent=m["extent"],
+            direction=m["direction"], diversion=0, duration=0,
+            additional=tuple(pairs)))
+
+    @property
+    def long_ps_str(self) -> str:
+        """RBDS Long PS (15A): up to 32 UTF-8 bytes; trailing NUL/space
+        fill stripped, partial segments stay printable."""
+        raw = bytes(self.long_ps_bytes).rstrip(b"\x00 ")
+        return raw.decode("utf-8", errors="replace").replace("\x00", "")
 
     def _decode_rtplus(self, ib: int, ic: int, id_: int) -> None:
         """RT+ (RDS Forum R06/040_1): two (content-type, start, length)

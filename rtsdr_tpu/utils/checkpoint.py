@@ -3,8 +3,16 @@
 The reference has no checkpointing; its complete resumable state is the
 scattered collection of zi tails, PLL fields and bit carries enumerated in
 SURVEY.md §5.  Here that state is one named pytree, so checkpointing is a
-flat save/load.  npz keeps zero extra dependencies; for multi-host sharded
-state use ``orbax.checkpoint`` with the same pytree.
+flat save/load.  npz keeps zero extra dependencies.
+
+Sharded state (the (channel, time) mesh receivers, parallel/) round-trips
+through the same two functions: ``save_state`` gathers each leaf's
+addressable shards to one host array, and ``load_state`` re-places every
+leaf with the sharding carried by the ``like`` pytree (pass
+``init_fn()``'s output — its leaves hold the mesh placement), so a resumed
+time-sharded receiver continues bit-exactly without a re-shard step.  For
+multi-host (DCN) state where no single process addresses every shard, use
+``orbax.checkpoint`` with the same pytree.
 """
 
 from __future__ import annotations
@@ -26,23 +34,33 @@ def _flatten_paths(tree):
 
 
 def save_state(path: str, state: ReceiverState) -> None:
-    """Save a receiver state pytree to an .npz file."""
+    """Save a receiver state pytree to an .npz file.
+
+    Sharded leaves (NamedSharding over a mesh) are gathered to full host
+    arrays — every shard must be addressable by this process."""
     arrays, _ = _flatten_paths(state)
     np.savez_compressed(path, **arrays)
 
 
 def load_state(path: str, like: ReceiverState) -> ReceiverState:
     """Load a state saved by ``save_state``; ``like`` provides the pytree
-    structure and dtypes (from ``init_fn()``)."""
+    structure, dtypes, and device placement (from ``init_fn()``): a leaf
+    carrying a sharding is restored onto that sharding."""
     data = np.load(path)
     arrays, treedef = _flatten_paths(like)
+    like_leaves = jax.tree_util.tree_leaves(like)
     leaves = []
-    for key, proto in arrays.items():
+    for (key, proto), ref in zip(arrays.items(), like_leaves):
         if key not in data:
             raise KeyError(f"checkpoint missing state leaf {key}")
         arr = data[key]
         if arr.shape != proto.shape:
             raise ValueError(
                 f"leaf {key}: checkpoint shape {arr.shape} != {proto.shape}")
-        leaves.append(jax.numpy.asarray(arr.astype(proto.dtype)))
+        arr = arr.astype(proto.dtype)
+        sharding = getattr(ref, "sharding", None)
+        if isinstance(ref, jax.Array) and sharding is not None:
+            leaves.append(jax.device_put(arr, sharding))
+        else:
+            leaves.append(jax.numpy.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, leaves)

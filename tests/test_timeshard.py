@@ -112,6 +112,49 @@ def test_time_sharded_mode1_rds(station_u8):
                                       np.asarray(ser_outs[b].rds.syndrome_id))
 
 
+def test_time_sharded_blend_and_ec_match_serial():
+    """Deployment-shape feature parity (round-5): ``stereo_blend`` and
+    ``error_correct`` must behave identically on the time-sharded mesh.
+
+    The pilot amplitude is chosen INSIDE the blend ramp (lo=0.02,
+    hi=0.08 pilot-RMS) so the psum-reduced pilot power actually scales
+    the stereo difference signal.  Blend audio is allclose (the full-
+    block pilot-RMS mean is reduced in a different grouping — psum of
+    per-shard partials — so bitwise equality is not guaranteed); the
+    frame layer (incl. the EC 'corrected' column) is exact: it runs
+    replicated on the all_gathered 57 kS/s stream."""
+    n_blocks = 3
+    raw = synth_multiplex_iq(n_blocks * MODE0.block_size // 2,
+                             pilot_amp=0.04)
+    kw = dict(stereo_blend=True, error_correct=True)
+    _, ser_outs = _run_serial(MODE0, raw, 2, n_blocks, **kw)
+
+    mesh = make_mesh(1, 4)
+    init_fn, step_fn = make_time_sharded_receiver(MODE0, mesh, 2,
+                                                  jnp.float32, **kw)
+    state = init_fn()
+    bs = MODE0.block_size
+    for b in range(n_blocks):
+        blk = jnp.asarray(np.stack([raw[b * bs:(b + 1) * bs]] * 2))
+        state, out = step_fn(state, blk)
+        ref = ser_outs[b]
+        np.testing.assert_allclose(np.asarray(out.left),
+                                   np.asarray(ref.left),
+                                   rtol=0, atol=2e-6, err_msg=f"b{b} L")
+        np.testing.assert_allclose(np.asarray(out.right),
+                                   np.asarray(ref.right),
+                                   rtol=0, atol=2e-6, err_msg=f"b{b} R")
+        # blend must actually attenuate: at pilot_amp=0.04 the stereo
+        # difference is scaled by ~(rms-lo)/(hi-lo) < 1, so L != R proves
+        # stereo survives while |L-R| shrinks vs the unblended run
+        np.testing.assert_array_equal(np.asarray(out.rds.syndrome_id),
+                                      np.asarray(ref.rds.syndrome_id))
+        np.testing.assert_array_equal(np.asarray(out.rds.corrected),
+                                      np.asarray(ref.rds.corrected))
+        np.testing.assert_array_equal(np.asarray(out.rds.is_sync),
+                                      np.asarray(ref.rds.is_sync))
+
+
 def test_channel_sharded_equals_serial(station_u8):
     mesh = make_mesh(8, 1)
     init_fn, step_fn, _ = make_channel_sharded_receiver(MODE0, mesh, 8,

@@ -78,3 +78,52 @@ def test_checkpoint_resume_bit_exact(tmp_path):
         outs2.append(np.asarray(out.left))
 
     np.testing.assert_array_equal(np.concatenate(outs), np.concatenate(outs2))
+
+
+def test_checkpoint_resume_sharded_bit_exact(tmp_path):
+    """Round 5 (VERDICT task 6): save/restore of a SHARDED ReceiverState
+    under the (ch, t) virtual mesh.  ``save_state`` gathers the
+    addressable shards; ``load_state`` re-places every leaf onto the
+    sharding carried by ``init_fn()``'s pytree — the resumed time-sharded
+    receiver must continue bit-exactly AND its state leaves must land
+    back on the mesh (not as single-device arrays)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    from rtsdr_tpu.parallel.mesh import make_mesh
+    from rtsdr_tpu.parallel.timeshard import make_time_sharded_receiver
+
+    n_ch, n_blocks = 2, 3
+    iq = fm_multiplex_iq(n_blocks * MODE0.block_size // 2)
+    mesh = make_mesh(2, 4)
+    init_fn, step_fn = make_time_sharded_receiver(MODE0, mesh, n_ch,
+                                                  jnp.float32)
+    bs = MODE0.block_size
+
+    def blk(b):
+        return jnp.asarray(np.stack([iq[b * bs:(b + 1) * bs]] * n_ch))
+
+    # continuous run
+    state = init_fn()
+    outs = []
+    for b in range(n_blocks):
+        state, out = step_fn(state, blk(b))
+        outs.append(np.asarray(out.left))
+
+    # 1 block, checkpoint, restore into a fresh mesh placement, resume
+    state = init_fn()
+    state, out0 = step_fn(state, blk(0))
+    ckpt = str(tmp_path / "sharded.npz")
+    save_state(ckpt, state)
+    resumed = load_state(ckpt, init_fn())
+    for leaf in jax.tree.leaves(resumed):
+        assert isinstance(leaf.sharding, NamedSharding), leaf.sharding
+        assert leaf.sharding.mesh.shape == mesh.shape
+    outs2 = [np.asarray(out0.left)]
+    state = resumed
+    for b in range(1, n_blocks):
+        state, out = step_fn(state, blk(b))
+        outs2.append(np.asarray(out.left))
+
+    np.testing.assert_array_equal(np.concatenate(outs),
+                                  np.concatenate(outs2))
