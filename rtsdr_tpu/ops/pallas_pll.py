@@ -332,6 +332,145 @@ def _kernel_v6(*refs, chunk, kq, ki, delayed, part_rows, loop_div=1):
         s_out_ref[7, :] = integ
 
 
+def _kernel_v7(*refs, chunk, kq, ki, delayed, part_rows, cg, loop_div=1):
+    """Grouped-lane variant of v4: the C flattened lanes live as
+    (8, C/8) 2-D values, so every op in the sequential loop is
+    sublane-DENSE.
+
+    Why: a 1-D (C,) f32 row in Mosaic occupies one sublane of each
+    (8, 128) vreg — at 2048 lanes every per-step op issues 16 vregs at
+    1/8 density, and the loop is measured ISSUE-bound there (PERF.md
+    v6 experiment).  Mapping lane ``c`` to (sublane s, lane l) with
+    ``c = s*cg + l`` (cg = C/8, a multiple of 128) makes each per-step
+    value a dense (8, cg) tile — 2 vregs at 2048 lanes, ~8x fewer
+    issue slots for the SAME op sequence.  The mapping is a pure
+    relabeling of independent lanes: per-lane op order and values are
+    bitwise v4's (tested).
+
+    The relayout happens once per chunk at the kernel edges: input
+    slab s (channel-major rows [s*cg, (s+1)*cg)) transposes into
+    sublane s of every (8, cg) tile of the time-major scratch, and the
+    NCO accumulators transpose back slab-wise on write-out.  Host-side
+    tables (p_ref theta groups, s_ref parameter rows) arrive already
+    grouped via free XLA reshapes.
+
+    This is the round-2 "v5" (8, C) grouping idea: any stacked
+    (8, C>=512) value feeding 2-D elementwise math crashed Mosaic
+    layout inference then (layout.h:320); the crash no longer
+    reproduces on jax 0.9.0 (round-4 note, re-probed round 5).
+
+    carry rows (each (8, cg)): 0 integ, 1 phase, 2/3 delayed nco i/q.
+    s_ref rows as v4, grouped: (16, 8, cg).
+    """
+    n_p = len(part_rows)
+    x_refs = refs[:n_p]
+    (p_ref, s_ref, ni_ref, nq_ref, s_out_ref, carry, xt3, ni3, nq3) = \
+        refs[n_p:]
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        carry[0] = s_ref[0]
+        carry[1] = s_ref[1]
+        carry[2] = s_ref[5]
+        carry[3] = s_ref[6]
+
+    # grouped-lane input relayout: channel slab s -> sublane s of every
+    # time tile.  A part whose lane span crosses a slab boundary (all
+    # offsets are 128-aligned) contributes lane sub-ranges.
+    off = 0
+    for xr, rows_n in zip(x_refs, part_rows):
+        s_lo = off // cg
+        s_hi = -(-(off + rows_n) // cg)
+        for s in range(s_lo, s_hi):
+            lo = max(off, s * cg)
+            hi = min(off + rows_n, (s + 1) * cg)
+            xt3[:, s, lo - s * cg:hi - s * cg] = xr[lo - off:hi - off, :].T
+        off += rows_n
+
+    integ0, phase0 = carry[0], carry[1]
+    nco_i0, nco_q0 = carry[2], carry[3]
+    if kq is None:
+        kq_v, ki_v = s_ref[2], s_ref[3]
+    else:
+        kq_v, ki_v = kq, ki
+    dth = s_ref[7]
+    scale_v = s_ref[8]
+    adjust_v = s_ref[9]
+    ovr = s_ref[4]
+    f_first = jnp.float32(first)
+
+    def body(g, c):
+        integ, phase, ci_, cq_ = c
+        base = pl.multiple_of(g * 8, 8)
+        xb = xt3[pl.ds(base, 8)]          # (8, 8, cg): time x (s, l)
+        pg = p_ref[g]                     # (8, cg)
+        rows_i, rows_q = [], []
+        for r in range(8):
+            if r % loop_div == 0:
+                # --- prep, off the phase->phase chain (dense tiles) ---
+                tp = pg + jnp.float32(r) * dth if r else pg
+                tp = tp - _FOUR_PI * jnp.floor(tp * (1.0 / _FOUR_PI))
+                if r == 0:
+                    f = f_first * jnp.float32(g == 0)
+                    tp = f * ovr + (1.0 - f) * tp
+                s = jnp.sign(xb[r])
+                m = s * s
+                w = (_PI * 0.5) * (1.0 - s) - tp
+                b = m * kq_v
+                a = m * ki_v
+                pi_pre = phase + integ
+                # --- critical chain (identical math to v4) ---
+                z = w - phase
+                rr = jnp.round(z * _INV_TWO_PI)
+                t = z - _TWO_PI * rr
+                integ = integ + a * t
+                phase = pi_pre + b * t
+            # --- NCO synthesis ---
+            th_j = pg + jnp.float32(r + 1) * dth
+            th_j = th_j - _FOUR_PI * jnp.floor(th_j * (1.0 / _FOUR_PI))
+            ph_m = phase - _FOUR_PI * jnp.floor(phase * (1.0 / _FOUR_PI))
+            na = (th_j + ph_m) * scale_v + adjust_v
+            i_new = jnp.cos(na)
+            q_new = jnp.sin(na)
+            if delayed:
+                rows_i.append(ci_)
+                rows_q.append(cq_)
+                ci_, cq_ = i_new, q_new
+            else:
+                rows_i.append(i_new)
+                rows_q.append(q_new)
+                ci_, cq_ = i_new, q_new
+        phase = jnp.mod(phase, _FOUR_PI)
+        ni3[pl.ds(base, 8)] = jnp.stack(rows_i)
+        nq3[pl.ds(base, 8)] = jnp.stack(rows_q)
+        return (integ, phase, ci_, cq_)
+
+    integ, phase, ci_, cq_ = jax.lax.fori_loop(
+        0, chunk // 8, body, (integ0, phase0, nco_i0, nco_q0))
+
+    carry[0] = integ
+    carry[1] = phase
+    carry[2] = ci_
+    carry[3] = cq_
+    # grouped-lane output relayout: sublane s back to channel slab s
+    n_slabs = ni_ref.shape[0] // cg
+    for s in range(n_slabs):
+        ni_ref[s * cg:(s + 1) * cg, :] = ni3[:, s, :].T
+        nq_ref[s * cg:(s + 1) * cg, :] = nq3[:, s, :].T
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        s_out_ref[0] = integ
+        s_out_ref[1] = phase
+        s_out_ref[2] = ci_
+        s_out_ref[3] = cq_
+        s_out_ref[4] = integ
+        s_out_ref[5] = integ
+        s_out_ref[6] = integ
+        s_out_ref[7] = integ
+
+
 def _kernel_theta(x_ref, s_ref, arg_ref, s_out_ref, carry, *, chunk):
     """Legacy kernel with theta in the loop (arbitrary per-lane dtheta).
 
@@ -438,11 +577,16 @@ def pll_pallas(
         c_real *= d
 
     if c_real > _MAX_LANES_PER_CALL:
-        # lane-slab: flatten the batch and run sequential <=2048-lane
-        # kernel calls (see _MAX_LANES_PER_CALL).  Per-lane parameters
-        # broadcast host-side and slice with the lanes.
-        x2d = (jnp.stack(list(x), axis=0) if parts is not None else x)
-        x2d = x2d.reshape(c_real, n)
+        # lane-slab: run sequential <=2048-lane kernel calls (see
+        # _MAX_LANES_PER_CALL).  Each slab slices the PARTS directly —
+        # the round-4 path stacked tuple inputs into one (C, N) HBM
+        # copy first, which at 4096 lanes (the 2048-channel receiver
+        # pair) re-materialized the full IF-rate pair every step and
+        # was a measured chunk of the "superlinear past 2048 lanes"
+        # wall.  Per-lane parameters broadcast host-side and slice with
+        # the lanes.
+        flat_parts = ([p.reshape(-1, n) for p in parts]
+                      if parts is not None else [x.reshape(c_real, n)])
         st_flat = jax.tree.map(lambda v: v.reshape(c_real), state)
 
         def bs(v):
@@ -451,16 +595,35 @@ def pll_pallas(
 
         fr, nb = bs(freq), bs(norm_bandwidth)
         sc, ad = bs(nco_scale), bs(phase_adjust)
+        part_offs = np.cumsum([0] + [int(p.shape[0]) for p in flat_parts])
         nis, nqs, sts = [], [], []
         for s0 in range(0, c_real, _MAX_LANES_PER_CALL):
             s1 = min(s0 + _MAX_LANES_PER_CALL, c_real)
+            sub_parts = []
+            for p, off in zip(flat_parts, part_offs[:-1]):
+                lo = max(s0, int(off))
+                hi = min(s1, int(off) + int(p.shape[0]))
+                if lo < hi:
+                    sub_parts.append(p[lo - int(off):hi - int(off)])
+            if len(sub_parts) > 1 and any(
+                    p.shape != sub_parts[0].shape for p in sub_parts[1:]):
+                # slab crosses part boundaries unevenly: the tuple path
+                # needs equal parts — concatenate just this slab's rows
+                sub_x = jnp.concatenate(sub_parts, axis=0)
+                sub_parts = [sub_x]
+            sub_x = (tuple(sub_parts) if len(sub_parts) > 1
+                     else sub_parts[0])
             sub_st = jax.tree.map(lambda v: v[s0:s1], st_flat)
             ni, nq, st_o = pll_pallas(
-                x2d[s0:s1], sub_st, freq=fr[s0:s1], fs=fs,
+                sub_x, sub_st, freq=fr[s0:s1], fs=fs,
                 nco_scale=sc[s0:s1], phase_adjust=ad[s0:s1],
                 norm_bandwidth=nb[s0:s1], chunk=chunk,
                 interpret=interpret, delay_output=delay_output,
                 loop_div=loop_div)
+            if isinstance(sub_x, tuple):
+                ni = ni.reshape(s1 - s0, n)
+                nq = nq.reshape(s1 - s0, n)
+                st_o = jax.tree.map(lambda v: v.reshape(s1 - s0), st_o)
             nis.append(ni)
             nqs.append(nq)
             sts.append(st_o)
@@ -642,9 +805,35 @@ def _call_v4(x2d_parts, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
     import os
 
     wide = os.environ.get("RTSDR_PLL_WIDE") == "1"
+    # v7 grouped-lane kernel (round 5): lanes as (8, c/8) dense tiles —
+    # ~8x fewer vector issues per loop op where the loop is issue-bound
+    # (>= 2048 lanes).  Needs cg = c/8 to be a lane-tile multiple.
+    # RTSDR_PLL_GROUPED=0/1 forces it off/on (trace-time, like
+    # RTSDR_PLL_WIDE).
+    grp_env = os.environ.get("RTSDR_PLL_GROUPED")
+    grouped = (not wide and c % 1024 == 0
+               and (grp_env == "1" or (grp_env != "0" and c >= 2048)))
     chunk = _v4_chunk(n, c, wide=wide)
 
-    if wide:
+    if grouped:
+        cg = c // 8
+        kern = partial(_kernel_v7, chunk=chunk, kq=kq, ki=ki,
+                       delayed=delay_output, part_rows=part_rows,
+                       cg=cg, loop_div=loop_div)
+        scratch = [pltpu.VMEM((4, 8, cg), dtype)] + \
+            [pltpu.VMEM((chunk, 8, cg), dtype) for _ in range(3)]
+        p_in = p_seq.reshape(n // 8, 8, cg)
+        s_in3 = s_in.reshape(16, 8, cg)
+        tab_specs = [
+            pl.BlockSpec((chunk // 8, 8, cg), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 8, cg), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        s_out_spec = pl.BlockSpec((8, 8, cg), lambda i: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        s_out_shape = jax.ShapeDtypeStruct((8, 8, cg), dtype)
+    elif wide:
         kern = partial(_kernel_v6, chunk=chunk, kq=kq, ki=ki,
                        delayed=delay_output, part_rows=part_rows,
                        loop_div=loop_div)
@@ -656,6 +845,18 @@ def _call_v4(x2d_parts, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
                        loop_div=loop_div)
         scratch = [pltpu.VMEM((8, c), dtype)] + \
             [pltpu.VMEM((chunk, c), dtype) for _ in range(3)]
+    if not grouped:
+        p_in = p_seq
+        s_in3 = s_in
+        tab_specs = [
+            pl.BlockSpec((chunk // 8, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        s_out_spec = pl.BlockSpec((8, c), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        s_out_shape = jax.ShapeDtypeStruct((8, c), dtype)
     ni, nq, s_out = pl.pallas_call(
         kern,
         grid=(n // chunk,),
@@ -663,28 +864,24 @@ def _call_v4(x2d_parts, state, kp_np, ki_np, spans, nco_scale, phase_adjust,
             pl.BlockSpec((r, chunk), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
             for r in part_rows
-        ] + [
-            pl.BlockSpec((chunk // 8, c), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + tab_specs,
         out_specs=[
             pl.BlockSpec((c, chunk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, chunk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            s_out_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((c, n), dtype),
             jax.ShapeDtypeStruct((c, n), dtype),
-            jax.ShapeDtypeStruct((8, c), dtype),
+            s_out_shape,
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*x2d_parts, p_seq, s_in)
+    )(*x2d_parts, p_in, s_in3)
+    if grouped:
+        s_out = s_out.reshape(8, c)
 
     nco_i = ni[:c_real].reshape(*batch_shape, n)
     nco_q = nq[:c_real].reshape(*batch_shape, n)
