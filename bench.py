@@ -32,9 +32,8 @@ from rtsdr_tpu.pipeline.receiver import make_receiver
 BASELINE_REALTIME = 64e-3 / (9.294e-3 + 9.246e-5 + 5.944e-4)  # 6.41x
 
 
-def _make_runner(n_channels: int, **kwargs):
+def _make_runner(n_channels: int, cfg=MODE0, **kwargs):
     """run(k) -> wall time of k chained (state-threaded) receiver steps."""
-    cfg = MODE0
     init_fn, step_fn = make_receiver(cfg, (n_channels,), jnp.float32, **kwargs)
     step = jax.jit(step_fn, donate_argnums=0)
 
@@ -52,6 +51,35 @@ def _make_runner(n_channels: int, **kwargs):
         for i in range(k):
             state, out = step(state, raws[i % len(raws)])
         float(jnp.sum(state.frontend.prev_i))  # one real device fetch
+        return time.perf_counter() - t0
+
+    return run
+
+
+def _make_wideband_runner(k_slots: int, n_captures: int):
+    """run(k) for the wideband receiver: n_captures parallel K-slot
+    captures -> k_slots*n_captures stations per step (the flagship
+    beyond-reference feature, tracked in the headline bench per
+    VERDICT r4 task 9)."""
+    from rtsdr_tpu.pipeline.wideband import make_wideband_receiver
+
+    cfg = MODE0
+    init_fn, step_fn = make_wideband_receiver(cfg, k_slots, (n_captures,))
+    step = jax.jit(step_fn, donate_argnums=0)
+    rng = np.random.default_rng(0)
+    raws = [
+        jax.device_put(rng.integers(
+            0, 256, (n_captures, k_slots * cfg.block_size), dtype=np.uint8))
+        for _ in range(2)
+    ]
+
+    def run(k: int) -> float:
+        state = jax.tree.map(lambda x: jnp.array(x, copy=True), init_fn())
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for i in range(k):
+            state, out = step(state, raws[i % len(raws)])
+        float(jnp.sum(out.left[..., :1]))
         return time.perf_counter() - t0
 
     return run
@@ -100,6 +128,9 @@ def _bench_interleaved(configs: dict, n_channels: int | None = None,
     chans = {}
     runners = {}
     for name, spec in configs.items():
+        if callable(spec):        # pre-built runner as (channels, run)
+            chans[name], runners[name] = spec()
+            continue
         c, kw = spec if isinstance(spec, tuple) else (n_channels, spec)
         chans[name] = c
         runners[name] = _make_runner(c, **kw)
@@ -139,8 +170,12 @@ def main():
         "mono": (2048, dict(enable_rds=False, enable_stereo=False)),
         "full": (1024, {}),   # mono+stereo+RDS+frame (Pallas PLL kernels)
         "fast": (1024, dict(pll_loop_div=4)),
+        # wideband: 8 captures x 16 slots = 128 stations through the PFB
+        # channelizer + batched full chain (VERDICT r4 task 9)
+        "wideband": (lambda: (128, _make_wideband_runner(16, 8))),
     })
     mono, full, fast = res["mono"], res["full"], res["fast"]
+    wb = res["wideband"]
 
     result = {
         "metric": "mono_chain_realtime_multiple_per_chip",
@@ -156,6 +191,9 @@ def main():
             "full_chain_sec_per_block_batch": full["sec_per_step"],
             "full_chain_fast_realtime_multiple":
                 round(fast["realtime_multiple"], 1),
+            "wideband_stations": wb["channels"],
+            "wideband_realtime_multiple": round(wb["realtime_multiple"], 1),
+            "wideband_sec_per_block_batch": wb["sec_per_step"],
             "device": str(jax.devices()[0]),
         },
     }

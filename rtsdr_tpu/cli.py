@@ -67,6 +67,12 @@ def main(argv=None) -> int:
                         "the reference hardware's region) or 'rds' (Europe, "
                         "IEC 62106 annex F).  The same 5-bit codes mean "
                         "different things per region")
+    p.add_argument("--derotate", action="store_true",
+                   help="track and remove RDS constellation rotation per "
+                        "block (BPSK squaring estimator): a detuned "
+                        "carrier rotates symbol energy off the I axis "
+                        "where the reference's decisions lose margin. "
+                        "Off by default for golden-model parity")
     p.add_argument("--rds-ec", action="store_true",
                    help="burst error correction on RDS blocks: repair "
                         "<=5-bit bursts via the (26,16) code's syndrome "
@@ -146,6 +152,8 @@ def main(argv=None) -> int:
         kwargs["pll_loop_div"] = pll_div
     if args.rds_ec:
         kwargs["error_correct"] = True
+    if args.derotate:
+        kwargs["derotate"] = True
     if args.stereo_blend:
         kwargs["stereo_blend"] = True
 

@@ -88,6 +88,7 @@ def make_time_sharded_receiver(
     pll_loop_div: int = 1,
     error_correct: bool = False,
     stereo_blend: bool | tuple = False,
+    derotate: bool = False,
 ):
     """Build ``(init_fn, step_fn)`` sharded over (channel, time).
 
@@ -149,7 +150,7 @@ def make_time_sharded_receiver(
         enable_frame=enable_frame, offset_mode=offset_mode,
         use_abs_clock=use_abs_clock, deemphasis=deemphasis,
         resamp_impl=resamp_impl, error_correct=error_correct,
-        stereo_blend=stereo_blend)
+        stereo_blend=stereo_blend, derotate=derotate)
 
     # coefficients (host constants, closed over)
     if ingest_impl == "auto":
@@ -194,7 +195,8 @@ def make_time_sharded_receiver(
             frame_fn = jax.vmap(make_frame(cfg, offset_mode=offset_mode,
                                            use_abs_clock=use_abs_clock,
                                            resync=resync,
-                                           error_correct=error_correct))
+                                           error_correct=error_correct,
+                                           derotate=derotate))
 
     def shard_body(state, raw_u8: jax.Array):
         t_id = lax.axis_index(TIME_AXIS)

@@ -192,6 +192,7 @@ class FrameState(NamedTuple):
     last_position: jax.Array  # int32, -1 until first sync
     bad_count: jax.Array     # int32 consecutive false positives (resync)
     offset_frac: jax.Array   # float timing-loop integrator ('gardner' mode)
+    derot_phase: jax.Array   # float carried constellation angle (derotate)
 
 
 class FrameOutputs(NamedTuple):
@@ -227,6 +228,7 @@ def frame_init(cfg: ReceiverConfig, dtype=jnp.float32) -> FrameState:
         last_position=jnp.full((), -1, i32),
         bad_count=jnp.zeros((), i32),
         offset_frac=jnp.zeros((), dtype),
+        derot_phase=jnp.zeros((), dtype),
     )
 
 
@@ -327,7 +329,8 @@ def resolve_sync(sid, w_valid, base_pos, last_position, bad_count,
 
 def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
                use_abs_clock: bool = False, resync: bool = False,
-               with_cprime: bool = True, error_correct: bool = False):
+               with_cprime: bool = True, error_correct: bool = False,
+               derotate: bool = False):
     """Returns ``frame(state, rrc_i, rrc_q) -> (outputs, new_state)``.
 
     Operates per channel (1-D inputs of length cfg.rds_len); ``jax.vmap``
@@ -374,6 +377,19 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
                   that steps the offset by at most one sample per block —
                   tracks receiver sample-clock error (XO ppm) that defeats
                   both reference modes.
+
+    ``derotate`` (off by default for golden parity): estimate the
+    constellation rotation per block by the BPSK squaring method —
+    theta = angle(sum (sym_i + j*sym_q)^2) / 2 over the block's symbols
+    — and rotate the symbols back onto the I axis before slicing.  A
+    detuned carrier shifts the recovered 57 kHz phase (the squared-BPF
+    phase response at the offset frequency), rotating energy onto Q
+    where the reference's I-only decisions lose margin; the round-5
+    decode campaign measured the chain dead at +200 Hz pilot detune
+    without this.  The estimate's pi ambiguity is harmless (differential
+    decode is polarity-invariant); the carried angle keeps the branch
+    choice continuous across blocks so polarity flips cannot happen
+    mid-stream.
     """
     assert offset_mode in ("hold", "track", "argmax", "gardner")
     r_len = cfg.rds_len
@@ -388,12 +404,23 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
 
         # ---- clock recovery (model/fmRDSblock.py:207-219) ----
         first24 = rrc_i[:sps]
-        # the tracking modes re-estimate (or seed a loop) from this peak:
-        # the signed form (golden-parity choice for hold/track) picks a
-        # wrong offset on any block whose first symbol is negative, so
-        # they always use the magnitude
-        use_abs = use_abs_clock or offset_mode in ("argmax", "gardner")
-        peak = jnp.abs(first24) if use_abs else first24
+        if offset_mode in ("argmax", "gardner"):
+            # extension modes use the square-law timing metric over the
+            # WHOLE block, folded mod sps: sum_m i^2+q^2 at each phase.
+            # Rotation-invariant (a detuned carrier rotates the
+            # constellation off the I axis, where the reference's
+            # one-symbol rrc_i peek goes blind — found by the round-5
+            # decode campaign at +200 Hz pilot detune) and averages
+            # ~150 symbols instead of one.
+            e_len = (rrc_i.shape[-1] // sps) * sps
+            env = (rrc_i[:e_len] * rrc_i[:e_len]
+                   + rrc_q[:e_len] * rrc_q[:e_len])
+            peak = env.reshape(-1, sps).sum(axis=0)
+        else:
+            # golden-parity modes keep the model's one-symbol peek; the
+            # signed form picks a wrong offset on any block whose first
+            # symbol is negative, so use_abs_clock offers the magnitude
+            peak = jnp.abs(first24) if use_abs_clock else first24
         offset0 = jnp.argmax(peak).astype(i32)
         carried_start = state.start_pos
         if offset_mode == "argmax":
@@ -428,6 +455,24 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
         sym_i = jnp.where(sym_pos_valid, sym_i, 0.0)
         sym_q = jnp.where(sym_pos_valid, sym_q, 0.0)
 
+        derot_new = state.derot_phase
+        if derotate:
+            # BPSK squaring estimate: sum of (i+jq)^2 over the block's
+            # symbols points at 2*theta (the data sign squares away);
+            # padding symbols are exact zeros and add nothing
+            c2r = jnp.sum(sym_i * sym_i - sym_q * sym_q)
+            c2i = jnp.sum(2.0 * sym_i * sym_q)
+            th = 0.5 * jnp.arctan2(c2i, c2r)
+            # continuity: of the pi-spaced candidates, keep the one
+            # nearest the carried angle (polarity never flips mid-stream)
+            pi_ = jnp.asarray(np.pi, sym_i.dtype)
+            adj = state.derot_phase + jnp.mod(
+                th - state.derot_phase + pi_ / 2, pi_) - pi_ / 2
+            th_u = jnp.where(state.first_block, th, adj)
+            derot_new = jnp.mod(th_u + pi_, 2 * pi_) - pi_
+            c, s = jnp.cos(th_u), jnp.sin(th_u)
+            sym_i, sym_q = sym_i * c + sym_q * s, sym_q * c - sym_i * s
+
         new_frac = state.offset_frac
         if offset_mode == "track":
             new_offset = (sps + r_len - offset - sps * n_sym).astype(i32)
@@ -440,6 +485,11 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
             onehot_m = (jnp.arange(sps, dtype=i32)
                         == mid_off).astype(rrc_i.dtype)
             midm = jnp.sum(phases_i * onehot_m, axis=-1)
+            if derotate:
+                # keep the TED coherent with the derotated symbols (a
+                # raw-I midpoint shrinks by cos(theta) and dies at 90)
+                midq = jnp.sum(phases_q * onehot_m, axis=-1)
+                midm = midm * c + midq * s
             # midm[j] sits between sym[j-1], sym[j] when offset >= half,
             # else between sym[j], sym[j+1] -> use previous row for pair n
             mid_n = jnp.where(offset >= half, midm,
@@ -633,7 +683,8 @@ def make_frame(cfg: ReceiverConfig, offset_mode: str = "hold",
             prebit=prebit_new, first_block=jnp.zeros((), jnp.bool_),
             carry=carry_new, carry_len=jnp.full((), CARRY_BITS, i32),
             base_pos=base_new, last_position=last_position,
-            bad_count=bad_count, offset_frac=new_frac)
+            bad_count=bad_count, offset_frac=new_frac,
+            derot_phase=derot_new)
         return outputs, new_state
 
     return frame

@@ -72,6 +72,7 @@ def make_receiver(
     resamp_impl: str = "auto",
     pll_loop_div: int = 1,
     stereo_blend: bool | tuple = False,
+    derotate: bool = False,
 ):
     """Build ``(init_fn, step_fn)`` for the full receiver.
 
@@ -162,7 +163,8 @@ def make_receiver(
     if enable_rds and enable_frame:
         frame_fn = make_frame(cfg, offset_mode=offset_mode,
                               use_abs_clock=use_abs_clock, resync=resync,
-                              error_correct=error_correct)
+                              error_correct=error_correct,
+                              derotate=derotate)
         for _ in batch_shape:
             frame_fn = jax.vmap(frame_fn)
 

@@ -299,3 +299,50 @@ def test_stereo_blend_fades_weak_pilot():
     # no pilot: the PLL free-runs, and without blend the unsynchronized
     # mixer would still leak the 38 kHz subcarrier into L-R
     assert amps[0.0] < 0.05 * expected, f"weak-pilot stereo leaked: {amps}"
+
+
+# ---- round-5 adversarial decode campaign regression tier ----
+# (tools/decode_campaign.py; scenario table in DIAGNOSTICS.md)
+
+def _campaign_yield(scenario_name, clock="hold", derotate=False,
+                    n_blocks=12):
+    import sys as _sys
+    _sys.path.insert(0, str(__import__("pathlib").Path(
+        __file__).resolve().parent.parent / "tools"))
+    import decode_campaign as dc
+
+    u8, n_groups = dc.synth_impaired(n_blocks, dc.SCENARIOS[scenario_name])
+    dc._RX.clear()   # isolate from other tests' configs
+    syncs, groups = dc.receiver_yield(u8, n_blocks, clock=clock,
+                                      derotate=derotate)
+    dc._RX.clear()
+    return syncs, groups, n_groups
+
+
+def test_decode_campaign_clean_and_noise_yield():
+    """CLI-default receiver on the campaign synthesizer: full group yield
+    (minus acquisition) on clean air and at 15 dB RF SNR."""
+    for name in ("clean", "snr15"):
+        syncs, groups, n_g = _campaign_yield(name)
+        assert groups >= n_g - 2, (name, syncs, groups, n_g)
+
+
+def test_decode_campaign_detune_needs_robust_clock():
+    """The campaign's round-5 finding, pinned both ways: at +200 Hz
+    pilot detune the rotated constellation blinds the reference's I-only
+    one-symbol clock peek (hold: ~0 groups), while the square-law
+    envelope clock + BPSK-squaring derotator decode most groups."""
+    _, groups_hold, n_g = _campaign_yield("detune+200")
+    assert groups_hold <= 1, groups_hold          # the documented failure
+    _, groups_rob, _ = _campaign_yield("detune+200", clock="gardner",
+                                       derotate=True)
+    assert groups_rob >= 3, groups_rob
+
+
+def test_decode_campaign_combined_harsh_robust_decodes():
+    """detune x phase noise x ppm x AM ripple x 12 dB SNR: undecodable at
+    reference parity AND for the golden model (both 0 groups, campaign
+    table); the robust configuration recovers groups."""
+    _, groups, n_g = _campaign_yield("combined_harsh", clock="gardner",
+                                     derotate=True)
+    assert groups >= 1, groups
