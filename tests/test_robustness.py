@@ -339,10 +339,23 @@ def test_decode_campaign_detune_needs_robust_clock():
     assert groups_rob >= 3, groups_rob
 
 
-def test_decode_campaign_combined_harsh_robust_decodes():
+def test_decode_campaign_combined_harsh_robust_regains_sync():
     """detune x phase noise x ppm x AM ripple x 12 dB SNR: undecodable at
     reference parity AND for the golden model (both 0 groups, campaign
-    table); the robust configuration recovers groups."""
-    _, groups, n_g = _campaign_yield("combined_harsh", clock="gardner",
-                                     derotate=True)
-    assert groups >= 1, groups
+    table).  This scenario sits on the decode cliff: whether whole
+    groups assemble depends on the noise realization and on platform fp
+    detail (0-4 groups over seeds, on CPU f32 and TPU alike — measured
+    round 5, both PLL impls).  The STABLE property, asserted here, is
+    sync recovery: the robust clock+derotator re-acquires block sync
+    where the reference-parity config stays dark (~1 lucky syndrome).
+    Group-level yield at the cliff is tracked by the campaign table
+    (DIAGNOSTICS.md), not pinned by a pass/fail test."""
+    syncs_hold, _, _ = _campaign_yield("combined_harsh")
+    syncs_rob, groups, _ = _campaign_yield("combined_harsh",
+                                           clock="gardner", derotate=True)
+    assert syncs_hold <= 2, syncs_hold        # the documented failure
+    assert syncs_rob >= syncs_hold + 4, (syncs_hold, syncs_rob)
+    # on the CPU test platform this realization also assembles groups
+    # (13 syncs / 2 groups); keep a weak floor so a regression that
+    # kills decode outright (not just shifts the cliff) still fails
+    assert groups >= 1, (syncs_rob, groups)

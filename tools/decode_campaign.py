@@ -200,7 +200,15 @@ def main():
     ap.add_argument("--json", type=str, default=None)
     ap.add_argument("--scenarios", type=str, default=None,
                     help="comma list (default: all)")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force jax platform (cpu/tpu).  NOTE: this "
+                    "environment pre-imports jax at interpreter startup, "
+                    "so JAX_PLATFORMS in the env is silently too late — "
+                    "use this flag (it goes through jax.config).")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    platform = jax.devices()[0].platform
 
     names = (args.scenarios.split(",") if args.scenarios
              else list(SCENARIOS))
@@ -209,7 +217,8 @@ def main():
         sc = SCENARIOS[name]
         u8, n_groups = synth_impaired(args.blocks, sc)
         syncs, groups = receiver_yield(u8, args.blocks)
-        row = {"scenario": name, "blocks": args.blocks,
+        row = {"scenario": name, "platform": platform,
+               "blocks": args.blocks,
                "tx_groups": n_groups, "rx_syncs": syncs,
                "rx_groups": groups,
                "rx_group_yield": round(groups / n_groups, 3)}
@@ -226,7 +235,8 @@ def main():
         u8, n_groups = synth_impaired(args.blocks, sc)
         syncs, groups = receiver_yield(u8, args.blocks, clock="gardner",
                                        derotate=True)
-        row = {"scenario": name + "/robust", "blocks": args.blocks,
+        row = {"scenario": name + "/robust", "platform": platform,
+               "blocks": args.blocks,
                "tx_groups": n_groups, "rx_syncs": syncs,
                "rx_groups": groups,
                "rx_group_yield": round(groups / n_groups, 3)}
