@@ -209,6 +209,159 @@ def pfb_channelize_u8(
     return y, raw_u8[..., -2 * l_zi:]
 
 
+def composed_rf_taps(
+    n_channels: int,
+    h_proto,
+    h_rf,
+    decim: int,
+    offsets_hz=None,
+    fs_ch: float | None = None,
+) -> np.ndarray:
+    """Compose channelizer slot k + the per-station RF decimating LPF
+    into one complex FIR per station, straight at the wideband rate.
+
+    Both stages are LTI decimating FIRs, so the cascade
+    ``decimate_10(h_rf * decimate_K(h_ch^(k) * x))`` is EXACTLY one
+    decimate-by-``10K`` FIR with taps
+
+        g_k[t] = sum_j h_rf[j] * h_ch^(k)[t - j*K],
+        h_ch^(k)[n] = h_ch[n] * exp(2j*pi*k*n/K)
+
+    (i.e. ``conv(upsample_K(h_rf), h_ch^(k))``).  This is the wideband
+    analogue of the mono chain's fused uint8 ingest: the reference runs
+    its RF front end once per retuned dongle (src/fm_radio.cpp:31-147);
+    here ALL K stations' front ends and the channelizer are one filter
+    bank — no channel-rate intermediate (at K=16/B=8 production widths
+    the two-stage path wrote + re-read + transposed a 157 MB float
+    plane; measured 5.6 ms of a 7.5 ms step, tools/profile_channelizer).
+
+    ``offsets_hz`` (length K, off-grid stations): mixing between the
+    stages commutes into the composition exactly —
+    ``mix(theta) -> h_rf`` equals ``(h_rf[j] * exp(-1j*step*j)) ->
+    post-mix exp(1j*theta(decim*p))`` — so the residual NCO moves to
+    the IF rate (10x fewer samples); apply the post-mix with
+    ``step_k = -2*pi*offsets_hz[k]/fs_ch`` per IF sample times
+    ``decim`` (see pipeline/wideband.py).
+
+    Returns (K, L) complex128, L = (len(h_rf)-1)*K + len(h_ch_padded).
+    """
+    k = n_channels
+    h64 = np.asarray(h_proto, np.float64)
+    t = -(-len(h64) // k)
+    if len(h64) < t * k:
+        h64 = np.pad(h64, (0, t * k - len(h64)))
+    h_rf = np.asarray(h_rf, np.float64)
+    j_idx = np.arange(len(h_rf), dtype=np.float64)
+    n_idx = np.arange(t * k, dtype=np.float64)
+    g = []
+    for ch in range(k):
+        h_rf_k = h_rf.astype(np.complex128)
+        if offsets_hz is not None and offsets_hz[ch]:
+            assert fs_ch is not None
+            step = -2.0 * np.pi * float(offsets_hz[ch]) / fs_ch
+            h_rf_k = h_rf_k * np.exp(-1j * step * j_idx)
+        up = np.zeros(((len(h_rf) - 1) * k + 1), np.complex128)
+        up[::k] = h_rf_k
+        h_chk = h64 * np.exp(2j * np.pi * n_idx * ch / k)
+        g.append(np.convolve(up, h_chk))
+    return np.stack(g)
+
+
+def composed_zi_u8(g_len: int, batch_shape: tuple = ()) -> jax.Array:
+    """Zero history for the composed path: value-128 bytes for the last
+    L-1 complex wideband samples."""
+    return jnp.full((*batch_shape, 2 * (g_len - 1)), 128, jnp.uint8)
+
+
+def composed_channelize_u8(
+    raw_u8: jax.Array,
+    g: np.ndarray,
+    zi_raw: jax.Array,
+    decim: int,
+    block: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """K stations' channelizer + RF front-end LPF + decimate in ONE
+    banded matmul over the raw wideband bytes.
+
+    ``g``: (K, L) complex taps from ``composed_rf_taps``.  Output p of
+    station ch is ``sum_t g[ch, t] * X[decim*K*p - t]`` with X the
+    normalized complex stream — bitwise the same recurrence as
+    channelize -> ``ops.fir.fir_decimate`` in exact arithmetic (f32/bf16
+    rounding only; parity-tested against the two-stage path).
+
+    raw_u8: (..., 2*N) interleaved uint8 at ``fs_w = K*fs``;
+    zi_raw: (..., 2*(L-1)) carried byte tail.  Returns
+    ((..., K, 2, P) float32 decimated station I/Q at the IF rate,
+    P = N/(decim*K), and the new byte tail) — feed receivers built with
+    ``frontend_impl='if'``.
+    """
+    k, g_l = g.shape
+    d = decim * k                       # complex samples per output
+    assert zi_raw.shape[-1] == 2 * (g_l - 1)
+    n = raw_u8.shape[-1] // 2
+    assert n % d == 0
+    p_out = n // d
+    assert p_out % block == 0, "P must divide the output block"
+    span_c = d * (block - 1) + g_l      # complex window per output block
+    stride_b = 2 * d * block
+    span_b = 2 * span_c
+    n_slabs = -(-span_b // stride_b)
+    assert n_slabs <= 3, "window too long for the slab construction"
+    nblk = p_out // block
+    batch = raw_u8.shape[:-1]
+    on_tpu = jax.default_backend() == "tpu"
+
+    need = n_slabs * stride_b + (nblk - 1) * stride_b
+    pad_n = max(0, need - (zi_raw.shape[-1] + raw_u8.shape[-1]))
+    x_ext = jnp.concatenate(
+        [zi_raw, raw_u8] + ([jnp.full((*batch, pad_n), 128, jnp.uint8)]
+                            if pad_n else []), axis=-1)
+
+    def norm(b):
+        if on_tpu:
+            return b.astype(jnp.bfloat16) - 128.0
+        return (b.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
+
+    def slab(off):
+        sl = jax.lax.slice_in_dim(x_ext, off, off + nblk * stride_b,
+                                  axis=-1)
+        return norm(sl).reshape(*batch, nblk, stride_b)
+
+    windows = jnp.concatenate(
+        [slab(0)] + [slab(i * stride_b)[..., :min(stride_b,
+                                                  span_b - i * stride_b)]
+                     for i in range(1, n_slabs)], axis=-1)
+
+    # H[byte, col(ch, quad, i)]: output i reads complex window offset
+    # o = d*i + (L-1) - t for tap t (bijective in t per column)
+    i_idx = np.arange(block)[:, None]
+    t_idx = np.arange(g_l)[None, :]
+    o = d * i_idx + (g_l - 1) - t_idx          # (block, L) complex rows
+    scale = 1.0 / 128.0 if on_tpu else 1.0
+    h_mat = np.zeros((span_b, block * k * 2), np.float64)
+    for ch in range(k):
+        c = g[ch] * scale                       # (L,)
+        cr = np.broadcast_to(c.real, o.shape)
+        ci = np.broadcast_to(c.imag, o.shape)
+        col_re = np.broadcast_to(ch * 2 * block + i_idx, o.shape)
+        rs = 2 * o.ravel()
+        h_mat[rs, col_re.ravel()] = cr.ravel()
+        h_mat[rs + 1, col_re.ravel()] = -ci.ravel()
+        h_mat[rs, col_re.ravel() + block] = ci.ravel()
+        h_mat[rs + 1, col_re.ravel() + block] = cr.ravel()
+    h_j = jnp.asarray(h_mat, jnp.bfloat16 if on_tpu else jnp.float32)
+
+    y = jax.lax.dot_general(
+        windows, h_j,
+        dimension_numbers=(((windows.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)     # (..., nblk, K*2*block)
+    y = y.reshape(*batch, nblk, k, 2, block)
+    y = jnp.moveaxis(y, -4, -2)                 # (..., K, 2, nblk, block)
+    y = y.reshape(*batch, k, 2, p_out)
+    assert n >= g_l - 1
+    return y, raw_u8[..., -2 * (g_l - 1):]
+
+
 def channel_center_freqs(n_channels: int, fs: float) -> np.ndarray:
     """Center frequency of each output channel (Hz), wrapped to +-fs/2."""
     k = np.arange(n_channels)

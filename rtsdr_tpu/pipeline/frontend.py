@@ -15,6 +15,13 @@ Three implementations:
   * 'iq'     — input is already float I/Q stacked as (..., 2, n) — the
                wideband channelizer's per-channel baseband
                (pipeline/wideband.py); skips normalize/deinterleave.
+  * 'if'     — input is already RF-FILTERED AND DECIMATED float I/Q
+               stacked as (..., 2, if_len) — the composed
+               channelizer+RF kernel's output
+               (ops.channelizer.composed_channelize_u8); only the
+               discriminator runs here (the FIR state fields ride along
+               untouched so the state pytree keeps one shape across
+               impls).
 """
 
 from __future__ import annotations
@@ -65,9 +72,14 @@ def make_frontend(cfg: ReceiverConfig, dtype=jnp.float32, impl: str = "auto"):
     if impl == "auto":
         impl = ("fused" if jax.default_backend() == "tpu"
                 and dtype == jnp.float32 else "split")
-    assert impl in ("fused", "split", "iq")
+    assert impl in ("fused", "split", "iq", "if")
 
     def frontend(state: FrontendState, raw_u8: jax.Array):
+        if impl == "if":
+            fm, (pi, pq) = fm_discriminator(
+                raw_u8[..., 0, :], raw_u8[..., 1, :],
+                (state.prev_i, state.prev_q))
+            return fm, state._replace(prev_i=pi, prev_q=pq)
         if impl == "fused":
             # single kernel: ingest + RF FIR + discriminator — the
             # decimated I/Q streams never round-trip HBM (falls back to

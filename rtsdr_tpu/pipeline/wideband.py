@@ -25,9 +25,13 @@ from rtsdr_tpu.ops.channelizer import (
     channelizer_taps,
     channelizer_zi,
     channelizer_zi_u8,
+    composed_channelize_u8,
+    composed_rf_taps,
+    composed_zi_u8,
     pfb_channelize,
     pfb_channelize_u8,
 )
+from rtsdr_tpu.pipeline.frontend import rf_lpf_taps
 from rtsdr_tpu.pipeline.receiver import ReceiverState, make_receiver
 
 
@@ -45,6 +49,7 @@ def make_wideband_receiver(
     taps_per_branch: int = 16,
     channel_sharding=None,
     channel_offsets_hz=None,
+    channelizer_impl: str = "auto",
     **receiver_kwargs,
 ):
     """Build ``(init_fn, step_fn)`` for a K-channel wideband receiver.
@@ -83,16 +88,44 @@ def make_wideband_receiver(
         if not np.any(offs):
             offs = None
 
-    init_rx, step_rx = make_receiver(
-        cfg, (*batch_shape, k), dtype, frontend_impl="iq",
-        **receiver_kwargs)
-
     cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
     # The raw-byte banded-matmul channelizer (one matmul, no complex
     # intermediates) needs whole output blocks and f32; the complex
     # phase-plane path remains for ragged lengths and the f64 oracle.
     m_per_block = cfg.block_size // 2  # per-channel samples per step
     use_u8 = dtype == jnp.float32 and m_per_block % 32 == 0
+
+    # 'composed' folds the per-station RF front-end LPF + /10 decimator
+    # INTO the channelizer matmul (ops.channelizer.composed_rf_taps):
+    # no channel-rate float plane is ever written (measured 5.6 ms of
+    # the 7.5 ms K=16/B=8 step: dot 1.7 + output transpose 3.9,
+    # tools/profile_channelizer.py), the per-station receivers start at
+    # the discriminator (frontend_impl='if'), and the off-grid residual
+    # NCO moves from the channel rate to the IF rate (10x fewer
+    # samples).  The two-stage path remains for ragged lengths, f64,
+    # and as the parity oracle.
+    assert channelizer_impl in ("auto", "composed", "pfb")
+    p_if = m_per_block // cfg.rf.decim
+    composed_ok = (use_u8 and m_per_block % cfg.rf.decim == 0
+                   and p_if % 16 == 0)
+    if channelizer_impl == "auto":
+        channelizer_impl = "composed" if composed_ok else "pfb"
+    elif channelizer_impl == "composed":
+        assert composed_ok, "geometry ineligible for the composed kernel"
+    use_composed = channelizer_impl == "composed"
+
+    init_rx, step_rx = make_receiver(
+        cfg, (*batch_shape, k), dtype,
+        frontend_impl="if" if use_composed else "iq",
+        **receiver_kwargs)
+
+    if use_composed:
+        g_taps = composed_rf_taps(k, h, rf_lpf_taps(cfg), cfg.rf.decim,
+                                  offsets_hz=offs, fs_ch=cfg.rf.fs)
+        # widest output block the IF length divides: fewer window rows
+        # re-read per output (span/stride -> 1 as block grows); 32 wins
+        # ~6% over 16 on-chip at K=16/B=8
+        comp_block = 32 if p_if % 32 == 0 else 16
 
     # per-sample NCO increment and its per-block phase advance are static
     # (offsets are config, not data), so the carried phase stays small
@@ -106,20 +139,32 @@ def make_wideband_receiver(
         # ~4e5 rad where the f32 ulp is 0.03 rad, i.e. ~5 kHz RMS
         # instantaneous-frequency noise on the mixed carrier.  Reduced,
         # the in-step angle stays bounded by 4pi.
+        # composed path: the shift is folded into the taps and the
+        # residual NCO runs at the IF rate (decim x fewer samples)
+        n_mix = p_if if use_composed else m_per_block
+        step_mix = mix_step * (cfg.rf.decim if use_composed else 1)
         mix_ramp = np.mod(
-            np.asarray(mix_step, np.float64)[:, None]
-            * np.arange(m_per_block, dtype=np.float64),
+            np.asarray(step_mix, np.float64)[:, None]
+            * np.arange(n_mix, dtype=np.float64),
             2.0 * np.pi)
 
     def init_fn() -> WidebandState:
-        chan_zi = (channelizer_zi_u8(k, taps, batch_shape) if use_u8
-                   else channelizer_zi(k, taps, batch_shape, cdtype))
+        if use_composed:
+            chan_zi = composed_zi_u8(g_taps.shape[1], batch_shape)
+        elif use_u8:
+            chan_zi = channelizer_zi_u8(k, taps, batch_shape)
+        else:
+            chan_zi = channelizer_zi(k, taps, batch_shape, cdtype)
         mix_phase = (jnp.zeros((k,), dtype) if offs is not None else None)
         return WidebandState(chan_zi=chan_zi, rx=init_rx(),
                              mix_phase=mix_phase)
 
     def step_fn(state: WidebandState, raw_u8: jax.Array):
-        if use_u8:
+        if use_composed:
+            raw_iq, chan_zi = composed_channelize_u8(
+                raw_u8, g_taps, state.chan_zi, cfg.rf.decim,
+                block=comp_block)
+        elif use_u8:
             raw_iq, chan_zi = pfb_channelize_u8(raw_u8, h, state.chan_zi, k)
         else:
             pairs = raw_u8.reshape(*raw_u8.shape[:-1], -1, 2)

@@ -370,6 +370,94 @@ def test_u8_channelizer_matches_complex_path(rng):
                                    atol=2e-6)
 
 
+def test_composed_channelizer_matches_two_stage():
+    """The composed channelizer+RF kernel == channelize (f64 oracle) ->
+    lfilter(h_rf) -> [::decim] per station, including the byte-tail
+    carry across blocks.  f32 tolerance: the composed path evaluates
+    ONE 2656-term dot where the two-stage path rounds at the channel
+    rate in between."""
+    from rtsdr_tpu.ops.channelizer import (
+        composed_channelize_u8,
+        composed_rf_taps,
+        composed_zi_u8,
+    )
+    from rtsdr_tpu.pipeline.frontend import rf_lpf_taps
+
+    rng = np.random.default_rng(7)
+    k, c, decim = 8, 2, 10
+    m_out = 480                       # per-channel samples per block
+    p_if = m_out // decim             # 48, divides 16
+    h = channelizer_taps(k, 16)
+    h_rf = np.asarray(rf_lpf_taps(MODE0), np.float64)
+    g = composed_rf_taps(k, h, h_rf, decim)
+    n = m_out * k
+
+    blocks = [rng.integers(0, 256, (c, 2 * n), np.uint8) for _ in range(2)]
+
+    # f64 oracle over the CONCATENATED stream: channelize, RF-filter,
+    # decimate (zero history)
+    full = np.concatenate(blocks, axis=-1)
+    pairs = full.reshape(c, -1, 2)
+    x = ((pairs[..., 0] - 128.0) + 1j * (pairs[..., 1] - 128.0)) / 128.0
+    zi_c = channelizer_zi(k, len(h), (c,), jnp.complex128)
+    y, _ = pfb_channelize(jnp.asarray(x), h, zi_c, k)  # (c, M, K)
+    y = np.asarray(y)
+    ref = np.empty((c, k, 2, 2 * p_if))
+    for ci in range(c):
+        for ch in range(k):
+            z = signal.lfilter(h_rf, 1.0, y[ci, :, ch])[::decim]
+            ref[ci, ch, 0] = z.real
+            ref[ci, ch, 1] = z.imag
+
+    zi_u = composed_zi_u8(g.shape[1], (c,))
+    outs = []
+    for blk in blocks:
+        o, zi_u = composed_channelize_u8(jnp.asarray(blk), g, zi_u, decim)
+        assert o.shape == (c, k, 2, p_if)
+        outs.append(np.asarray(o))
+    got = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=5e-5)
+
+
+@pytest.mark.parametrize("off_khz", [150.0])
+def test_composed_wideband_matches_pfb_path(off_khz):
+    """End to end at tiny K: the composed wideband receiver (one-matmul
+    front door, IF-rate residual NCO) == the two-stage path (channelize
+    -> channel-rate mix -> per-station float RF FIR) on the same bytes,
+    with off-grid offsets exercised on both."""
+    k = 2
+    bs = MODE0.block_size
+    n_iq = bs // 2
+    u8 = synth_multiplex_iq(n_iq, quantize=False)
+    xi = u8[0::2] + 1j * u8[1::2]
+    up = signal.resample_poly(xi, k, 1)
+    off = off_khz * 1e3
+    fs_w = k * MODE0.rf.fs
+    wide = up * np.exp(2j * np.pi * (fs_w / k + off)
+                       * np.arange(len(up)) / fs_w)
+    wide /= max(1.0, np.abs(wide).max() / 0.95)
+    raw = np.empty(2 * len(wide), np.float64)
+    raw[0::2] = wide.real
+    raw[1::2] = wide.imag
+    raw_u8 = np.clip(np.round(raw * 128 + 128), 0, 255).astype(np.uint8)
+
+    offsets = [0.0, off]   # the station sits off slot 1's center
+    outs = {}
+    for impl in ("composed", "pfb"):
+        init_fn, step_fn = make_wideband_receiver(
+            MODE0, k, enable_rds=False, channel_offsets_hz=offsets,
+            channelizer_impl=impl)
+        state = init_fn()
+        state, out = jax.jit(step_fn)(state, jnp.asarray(raw_u8))
+        outs[impl] = np.asarray(out.left)
+    assert outs["composed"].shape == (k, MODE0.audio_len)
+    # same station, same audio: f32-rounding-level agreement
+    np.testing.assert_allclose(outs["composed"], outs["pfb"], atol=2e-4)
+    # and the off-grid station actually decodes on the composed path
+    amp = _tone_amp(outs["composed"][1][MODE0.audio_len // 2:], 1.1e3)
+    assert amp > 0.15, amp
+
+
 def test_wideband_channel_sharded_matches_single_device():
     """The wideband receiver decoded across a (ch=8) mesh: the channelizer
     output is sharding-constrained per station, everything downstream runs

@@ -125,6 +125,20 @@ def main():
         float(jnp.sum(out.left[..., :1]))
         return time.perf_counter() - t0
 
+    # (d') the two-stage path, same step (A/B for the composed kernel)
+    init_wp, step_wp = make_wideband_receiver(cfg, k, (b,),
+                                              channelizer_impl="pfb")
+    step_wp_j = jax.jit(step_wp, donate_argnums=0)
+
+    def run_wb_pfb(n):
+        st = jax.tree.map(lambda x: jnp.array(x, copy=True), init_wp())
+        jax.block_until_ready(st)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            st, out = step_wp_j(st, raw)
+        float(jnp.sum(out.left[..., :1]))
+        return time.perf_counter() - t0
+
     # (e) plain batched full chain at the same station count
     init_p, step_p = make_receiver(cfg, (n_st,), jnp.float32)
     step_p_j = jax.jit(step_p, donate_argnums=0)
@@ -141,7 +155,8 @@ def main():
         return time.perf_counter() - t0
 
     res = interleaved({"channelizer": run_chan, "chain_iq": run_chain_iq,
-                       "wideband_full": run_wb, "plain_full": run_plain})
+                       "wideband_full": run_wb, "wideband_pfb": run_wb_pfb,
+                       "plain_full": run_plain})
     for n, dt in res.items():
         print(json.dumps({"stage": n, "stations": n_st,
                           "ms_per_step": round(dt * 1e3, 3)}), flush=True)
