@@ -380,8 +380,13 @@ def _resample_polyphase_matmul(x: jax.Array, h: jax.Array, zi: jax.Array,
     assert (n * up) % down == 0
     m_total = n * up // down
 
-    # B: multiple of up so every block starts at phase 0, sized ~64-128 rows
-    b = up * max(1, 96 // up)
+    # B: multiple of up so every block starts at phase 0.  Size toward
+    # ~128-256 output rows: the dot's N dimension pads to the 128-lane
+    # MXU grid, so b=57 (up=57, old 96//up heuristic) wasted 125% of
+    # the output tile (57 -> 128) — b=228 pads 12% and quarters the
+    # window-slice count (mode-1 RDS x57/250: the measured win feeds
+    # the round-5 chain numbers in PERF.md)
+    b = up * max(1, 192 // up)
     nblk = -(-m_total // b)
     stride_x = b * down // up
     # output r in a block reads x[i] for (r*down - t1)/up <= i <= r*down/up;

@@ -90,12 +90,35 @@ def test_bank_block_seam(rng):
 def test_ineligible_shapes(rng):
     x = jnp.zeros((31, 2560), jnp.float32)       # c % 32 != 0
     assert not eligible(x, 151, 1)
-    x = jnp.zeros((32, 2560 + 128), jnp.float32)  # m % block != 0
-    assert not eligible(x, 151, 1)
+    # m % block != 0 is ELIGIBLE for stride-1 banks since round 5: the
+    # zero-state kernel right-pads to the block grid and slices
+    # (mode-1's if_len=16000); strided banks still require divisibility
+    x = jnp.zeros((32, 2560 + 128), jnp.float32)
+    assert eligible(x, 151, 1)
+    x = jnp.zeros((32, 5 * 1344), jnp.float32)   # m=1344 % 128 != 0
+    assert not eligible(x, 101, 5)
     x = jnp.zeros((32, 2560), jnp.float64)        # dtype
     assert not eligible(x, 151, 1)
     x = jnp.zeros((32, 2560), jnp.float32)        # 1-tap filter (hw = 0)
     assert not eligible(x, 1, 1)
+
+
+def test_bank_padded_grid_matches_fir_block(rng):
+    """Stride-1 bank on a length that does NOT divide the block grid
+    (mode-1's if_len=16000 shape, scaled down): right-pad + slice must
+    equal the XLA fir_block exactly, including the carried tail."""
+    c = 32
+    for n in (2000, 16000 // 4):      # 2000 % 256 != 0, 4000 % 512 != 0
+        x = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        zi = jnp.asarray(rng.standard_normal((c, 150)).astype(np.float32))
+        assert eligible(x, 151, 1)
+        ys, new_zi = fir_bank_carried(x, BANK_H, zi, 1)
+        assert ys[0].shape == (c, n)
+        for f, h in enumerate(BANK_H):
+            ref, ref_zi = fir_block(x, h, zi)
+            np.testing.assert_allclose(np.asarray(ys[f]), np.asarray(ref),
+                                       rtol=0, atol=_bf16_tol(ref))
+        assert np.array_equal(np.asarray(new_zi), np.asarray(ref_zi))
 
 
 class TestResampleMul2:

@@ -50,7 +50,10 @@ def timer(fn, arg, reps=6, k1=3, k2=13):
         for _ in range(n):
             out = fn(y)
             y = arg
-        jax.block_until_ready(out)
+        # host readback, not block_until_ready: the axon tunnel's
+        # block_until_ready intermittently acks before execution
+        # finishes, and min-of-reps amplifies that into garbage
+        float(jnp.sum(out.ravel()[:1]))
         return time.perf_counter() - t0
 
     run(k1)
