@@ -125,7 +125,8 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
               pilot: jax.Array | None = None,
               chan: jax.Array | None = None,
               nco_pre: tuple | None = None,
-              mono_pre: tuple | None = None):
+              mono_pre: tuple | None = None,
+              fm_tail: jax.Array | None = None):
         # the receiver may pass the mono branch precomputed (LPF↓down
         # fused into the ingest+demod kernel, ops/ingestfir.py) as
         # mono_pre = (mono, new_mono_zi); fm is then None in the
@@ -151,6 +152,10 @@ def make_audio(cfg: ReceiverConfig, enable_stereo: bool = True,
         if pilot is None or chan is None:
             (pilot, chan), if_tail = fir_block_bank(fm, [pilot_h, chan_h],
                                                     state.pilot_zi)
+        elif fm_tail is not None:
+            # IF bank fused into the ingest kernel (ops/ingestfir.py
+            # bank epilogue): fm never left VMEM, only its tail did
+            if_tail = fm_tail[..., -(cfg.stereo.taps - 1):]
         else:
             if_tail = jnp.concatenate(
                 [state.pilot_zi, fm], axis=-1)[..., -(cfg.stereo.taps - 1):]

@@ -97,13 +97,18 @@ def make_rds(cfg: ReceiverConfig, pll_impl: str = "auto",
 
     def rds(state: RDSState, fm: jax.Array,
             extract: jax.Array | None = None,
-            nco_pre: tuple | None = None):
+            nco_pre: tuple | None = None,
+            fm_tail: jax.Array | None = None):
         # the receiver may pass `extract` precomputed (3-fused with the
-        # stereo pilot/channel band-passes over the same fm input) and the
-        # carrier NCO precomputed (PLL fused with the stereo pilot loop);
+        # stereo pilot/channel band-passes over the same fm input — or
+        # fused all the way into the ingest kernel, in which case fm is
+        # None and only its tail arrives) and the carrier NCO
+        # precomputed (PLL fused with the stereo pilot loop);
         # nco_pre = (nco_i, nco_q, pll_state, squared_zi)
         if extract is None:
             extract, extract_zi = fir_block(fm, extract_h, state.extract_zi)
+        elif fm_tail is not None:
+            extract_zi = fm_tail[..., -(r.taps - 1):]
         else:
             extract_zi = jnp.concatenate(
                 [state.extract_zi, fm], axis=-1)[..., -(r.taps - 1):]

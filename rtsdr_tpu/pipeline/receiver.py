@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -73,6 +75,7 @@ def make_receiver(
     pll_loop_div: int = 1,
     stereo_blend: bool | tuple = False,
     derotate: bool = False,
+    fuse_if_bank: bool | str = "auto",
 ):
     """Build ``(init_fn, step_fn)`` for the full receiver.
 
@@ -197,15 +200,37 @@ def make_receiver(
         # with the mono audio LPF as an in-kernel second stage when the
         # geometry allows
         mono_pre = None
+        bank_pre = None
+        fm_tail = None
+        # the IF band-pass bank can share the fused kernel's rolling fm
+        # scratch when its look-back fits it (stereo taps == audio
+        # taps): the demodulated stream then never touches HBM at all.
+        # Round-5 task-5 A/B (interleaved-min, on-chip): standalone
+        # ingest+bank -7.6% at 1024 ch, but IN-CHAIN the win washes out
+        # at 1024 (+0.9%: the epilogue inherits the ingest tiling,
+        # where the standalone bank picks its own wider tiles) and only
+        # holds at 2048 (-1.4%, where HBM pressure dominates) — so
+        # 'auto' engages it at >=2048 flattened channels only.
+        flat_c = math.prod(batch_shape) if batch_shape else 1
+        fuse_bank = ((fuse_if_bank is True
+                      or (fuse_if_bank == "auto" and flat_c >= 2048))
+                     and if_bank_h is not None
+                     and _audio_taps_n == cfg.stereo.taps)
         if (fuse_audio_ok and raw_u8.dtype == jnp.uint8
                 and ingest_audio_eligible(raw_u8, cfg.rf.taps, cfg.rf.decim,
                                           cfg.mono.up, _audio_taps_n,
                                           cfg.mono.down)):
-            fm, mono, zi_i, zi_q, pi, pq, mono_zi = ingest_fir_demod_audio(
+            out = ingest_fir_demod_audio(
                 raw_u8, _rf_h, state.frontend.zi_i, state.frontend.zi_q,
                 state.frontend.prev_i, state.frontend.prev_q, cfg.rf.decim,
                 _mono_h, state.audio.mono_zi, cfg.mono.down,
-                emit_fm=enable_stereo or enable_rds)
+                emit_fm=(enable_stereo or enable_rds) and not fuse_bank,
+                bank_h=if_bank_h if fuse_bank else None,
+                bank_zi=state.audio.pilot_zi if fuse_bank else None)
+            fm, mono, zi_i, zi_q, pi, pq, mono_zi = out[:7]
+            if fuse_bank:
+                bank_pre = out[7]
+                fm_tail = mono_zi     # == the last taps-1 fm samples
             fe_state = FrontendState(zi_i=zi_i, zi_q=zi_q,
                                      prev_i=pi, prev_q=pq)
             mono_pre = (mono, mono_zi)
@@ -215,8 +240,11 @@ def make_receiver(
         pilot = chan = extract = None
         audio_nco = rds_nco = None
         if if_bank_h is not None:
-            (pilot, chan, extract), _ = fir_block_bank(
-                fm, if_bank_h, state.audio.pilot_zi)
+            if bank_pre is not None:
+                pilot, chan, extract = bank_pre
+            else:
+                (pilot, chan, extract), _ = fir_block_bank(
+                    fm, if_bank_h, state.audio.pilot_zi)
             if fuse_pll:
                 from rtsdr_tpu.ops.pallas_fir import fir_block_pre
 
@@ -241,14 +269,16 @@ def make_receiver(
         (left, right, mono), au_state = audio(state.audio, fm,
                                               pilot=pilot, chan=chan,
                                               nco_pre=audio_nco,
-                                              mono_pre=mono_pre)
+                                              mono_pre=mono_pre,
+                                              fm_tail=fm_tail)
 
         rds_state = None
         frame_state = None
         rds_out = None
         if rds_fn is not None:
             (rrc_i, rrc_q), rds_state = rds_fn(state.rds, fm, extract=extract,
-                                               nco_pre=rds_nco)
+                                               nco_pre=rds_nco,
+                                               fm_tail=fm_tail)
             if frame_fn is not None:
                 rds_out, frame_state = frame_fn(state.frame, rrc_i, rrc_q)
             else:

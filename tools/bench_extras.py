@@ -86,7 +86,10 @@ def bench_wideband(k=16, batch=8):
     sec = slope_time(step_fn, jax.jit(init_fn)(), raw)
     block_s = MODE0.block_size / 2 / MODE0.rf.fs
     stations = batch * k
+    # default path since round 5 = the composed channelizer+RF kernel
+    # (metric name kept for round-over-round comparability)
     return {"metric": "wideband_pfb_realtime_multiple_per_chip",
+            "channelizer": "composed",
             "rf_channels": k, "captures": batch, "stations": stations,
             "ms_per_step": round(sec * 1e3, 4),
             "value": round(stations * block_s / sec, 1),
