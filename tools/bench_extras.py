@@ -44,15 +44,21 @@ def slope_time(step, state, raw, reps=8, n_lo=3, n_hi=13):
 
     st = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
     _, st = run(3, st)
-    best = np.inf
+    # min over reps of t(lo) and t(hi) SEPARATELY, then subtract (the
+    # bench.py scheme).  The previous per-rep difference min was subtly
+    # wrong under shared-chip contention: one burst inflating t(lo)
+    # while its paired t(hi) ran clean collapses that rep's difference
+    # toward zero, and the min then reports a physically impossible
+    # slope (round-4's 282,514x band-scan artifact; round-5 caught a
+    # 0.08 ms "wideband step" the same way).
+    t_lo = np.inf
+    t_hi = np.inf
     for _ in range(reps):
         t1, st = run(n_lo, st)
         t2, st = run(n_hi, st)
-        sl = (t2 - t1) / (n_hi - n_lo)
-        if sl > 0:  # contention can swing t(hi) below t(lo): discard
-            best = min(best, sl)
-    assert np.isfinite(best), "all slope estimates negative (contention)"
-    return best
+        t_lo = min(t_lo, t1)
+        t_hi = min(t_hi, t2)
+    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
 
 
 def bench_mode1(n_ch=512):
